@@ -1,0 +1,190 @@
+"""Racing-line CLI — drop-in surface parity with reference src/__main__.py.
+
+Same positionals (track JSON, vehicle JSON, usable track-width fraction), same
+mutually-exclusive method flags, same plot flags, same artifact layout
+(data/plots/<vehicle>/<track>/<method>/), same results block format — so runs
+are directly diffable against the reference.
+
+Extensions: --output-dir (the reference hardcodes a path relative to its own
+source tree, src/__main__.py:179-181), --seed for the stochastic methods, and
+a post-compile timing line (JAX separates compile from steady-state cost).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import jax.numpy as jnp
+import numpy as np
+
+from lap_time_optimization_tpu.models import load_vehicle
+from lap_time_optimization_tpu.optim import global_search, racing_line
+from lap_time_optimization_tpu.track import Track
+from lap_time_optimization_tpu.utils import io
+
+METHOD_DIRS = {
+    "curvature": "curvature",
+    "compromise": "compromise",
+    "laptime": "laptime",
+    "sectors": "sectors",
+    "estimated": "estimated",
+    "bayes": "bayesian",
+    "nonlinear": "nonlinear",
+}
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Racing line optimisation (TPU-native)")
+    p.add_argument("track", type=str, help="path to JSON containing track data")
+    p.add_argument("vehicle", type=str, help="path to JSON containing vehicle data")
+    p.add_argument(
+        "track_width",
+        type=float,
+        help="fraction (0.01..1.0) of the track width the car may use",
+    )
+    methods = p.add_argument_group("generation methods").add_mutually_exclusive_group(required=True)
+    methods.add_argument("--curvature", action="store_const", dest="method", const="curvature",
+                         help="minimise curvature")
+    methods.add_argument("--compromise", action="store_const", dest="method", const="compromise",
+                         help="minimise an optimal length-curvature compromise")
+    methods.add_argument("--bayes", action="store_const", dest="method", const="bayes",
+                         help="minimise time via bayesian optimisation")
+    methods.add_argument("--nonlinear", action="store_const", dest="method", const="nonlinear",
+                         help="minimise time via nonlinear optimisation")
+    methods.add_argument("--laptime", action="store_const", dest="method", const="laptime",
+                         help="directly minimise lap time")
+    methods.add_argument("--sectors", action="store_const", dest="method", const="sectors",
+                         help="optimise and merge sector paths")
+    methods.add_argument("--estimated", action="store_const", dest="method", const="estimated",
+                         help="minimise a pre-computed length-curvature compromise")
+    p.add_argument("--plot-corners", action="store_true", dest="plot_corners")
+    p.add_argument("--plot-path", action="store_true", dest="plot_path")
+    p.add_argument("--plot-trajectory", action="store_true", dest="plot_trajectory")
+    p.add_argument("--plot-all", action="store_true", dest="plot_all")
+    p.add_argument("--plot-format", type=str, dest="ext", default="png")
+    p.add_argument("--output-dir", type=str, default="./data",
+                   help="base directory for plots + JSON artifacts")
+    p.add_argument("--seed", type=int, default=0, help="PRNG seed for bayes/nonlinear")
+    return p
+
+
+def run(args) -> dict:
+    track = Track.load(args.track, track_width=args.track_width)
+    print(f"[ Imported {track.name} ]")
+    vehicle = load_vehicle(args.vehicle)
+    print(f"[ Imported {vehicle.name} ]")
+
+    t0 = time.time()
+    decongested = args.method in ("bayes", "nonlinear")
+
+    if args.method == "curvature":
+        print("[ Minimising curvature ]")
+        alphas = racing_line.minimise_curvature(track).x
+    elif args.method == "compromise":
+        print("[ Minimising optimal compromise ]")
+        alphas, epsilon, _ = racing_line.minimise_optimal_compromise(track, vehicle)
+        print(f"  epsilon = {epsilon:.4f}")
+    elif args.method == "laptime":
+        print("[ Minimising lap time ]")
+        alphas = racing_line.minimise_lap_time(track, vehicle).x
+    elif args.method == "sectors":
+        print("[ Optimising sectors ]")
+        alphas, eps_w, _ = racing_line.optimise_sectors(track, vehicle)
+        for i, e in enumerate(np.asarray(eps_w)):
+            print(f"  Sector {i:d}: eps={float(e):.4f}")
+    elif args.method == "estimated":
+        print("[ Minimising pre-computed compromise ]")
+        alphas, epsilon = racing_line.minimise_estimated_compromise(track, vehicle)
+        print(f"  epsilon = {epsilon:.4f}")
+    elif args.method == "bayes":
+        print("[ BAYES ]")
+        alphas, _, info = global_search.bayesian(track, vehicle, seed=args.seed)
+        print(f"  converged after {info['rounds']} rounds / {info['n_samples']} samples")
+    elif args.method == "nonlinear":
+        print("[ NONLINEAR ]")
+        alphas, _ = global_search.nonlinear(track, vehicle, seed=args.seed)
+    else:  # pragma: no cover
+        raise ValueError(f"unknown method {args.method}")
+
+    print("[ Computing lap time ]")
+    if decongested:
+        lap_time, length, v, s = global_search.evaluate_decongested_jit(track, vehicle, alphas)
+        sp = jnp and None  # spline rebuilt below for sampling positions
+        from lap_time_optimization_tpu.ops import spline as spline_ops
+
+        controls = track.control_points_decongested(alphas)
+        sp = spline_ops.fit(controls, track.closed)
+    else:
+        lap_time, length, v, s = racing_line.evaluate_jit(track, vehicle, alphas)
+        from lap_time_optimization_tpu.ops import spline as spline_ops
+
+        controls = track.control_points(alphas)
+        sp = spline_ops.fit(controls, track.closed)
+    run_time = time.time() - t0
+
+    lap_time = float(lap_time)
+    length = float(length)
+    v = np.asarray(v)
+    print()
+    print("=== Results ==========================================================")
+    print("Lap time = {:.3f}".format(lap_time))
+    print("Run time = {:.3f}".format(run_time))
+    print("Path Length = {:.3f}".format(length))
+    print("Max velocity = {:.3f}".format(float(np.max(v))))
+    print("Mean velocity = {:.3f}".format(float(np.mean(v))))
+    print("======================================================================")
+    print()
+
+    # ---------------------------------------------------------------- artifacts
+    plot_dir = io.artifact_dir(args.output_dir, vehicle.name, track.name, METHOD_DIRS[args.method])
+    os.makedirs(plot_dir, exist_ok=True)
+
+    positions = np.asarray(spline_ops.evaluate(sp, s))
+
+    if args.plot_corners or args.plot_all:
+        from lap_time_optimization_tpu.viz import plot as viz
+
+        _, mask = racing_line.detect_track_corners(track)
+        mid = track.mid_spline()
+        mid_pos = np.asarray(spline_ops.evaluate(mid, jnp.linspace(0.0, mid.length, track.ns)))
+        viz.plot_corners(os.path.join(plot_dir, f"corners.{args.ext}"),
+                         track.old_left, track.old_right, mid_pos, mask)
+    if args.plot_path or args.plot_all:
+        from lap_time_optimization_tpu.viz import plot as viz
+
+        viz.plot_path(os.path.join(plot_dir, f"path.{args.ext}"),
+                      track.old_left, track.old_right, positions, np.asarray(sp.controls))
+        io.save_path_json(plot_dir, positions[0], positions[1], "path")
+    if args.plot_trajectory or args.plot_all:
+        from lap_time_optimization_tpu.viz import plot as viz
+
+        viz.plot_trajectory(os.path.join(plot_dir, f"trajectory.{args.ext}"),
+                            track.old_left, track.old_right, positions, v)
+
+    # always save the NMPC-stage inputs (reference src/__main__.py:199-213)
+    io.save_path_json(plot_dir, positions[0], positions[1], "path")
+    io.save_path_json(plot_dir, np.asarray(track.old_left)[0], np.asarray(track.old_left)[1], "left")
+    io.save_path_json(plot_dir, np.asarray(track.old_right)[0], np.asarray(track.old_right)[1], "right")
+    io.save_widths_json(plot_dir, np.asarray(track.widths), "widths")
+    io.save_velocities_json(plot_dir, v, "velocities")
+
+    return dict(
+        lap_time=lap_time,
+        run_time=run_time,
+        length=length,
+        max_velocity=float(np.max(v)),
+        mean_velocity=float(np.mean(v)),
+        alphas=np.asarray(alphas),
+        artifact_dir=plot_dir,
+    )
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    return run(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,90 @@
+"""On-device Gaussian-process regression (Matérn-5/2) for Bayesian search.
+
+Replaces sklearn's `GaussianProcessRegressor(kernel=Matern(nu=2.5),
+n_restarts_optimizer=10)` (reference src/trajectory_bayesian_nonlinear.py:161-162):
+kernel algebra, Cholesky solves, and the marginal-likelihood length-scale fit
+all run as batched XLA ops, with the MLE restarts vmapped instead of looped.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from lap_time_optimization_tpu.ops import optimize
+
+_JITTER = 1e-10  # sklearn GaussianProcessRegressor default `alpha`
+
+
+def matern52(x1: jax.Array, x2: jax.Array, length_scale) -> jax.Array:
+    """Matérn ν=5/2 kernel matrix for x1 (n,d), x2 (m,d)."""
+    d2 = jnp.sum((x1[:, None, :] - x2[None, :, :]) ** 2, axis=-1)
+    r = jnp.sqrt(jnp.maximum(d2, 1e-30))
+    c = jnp.sqrt(5.0) * r / length_scale
+    return (1.0 + c + c * c / 3.0) * jnp.exp(-c)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class GP:
+    x_train: jax.Array  # (n, d)
+    chol: jax.Array  # (n, n) lower Cholesky of K + jitter I
+    weights: jax.Array  # (n,) K^{-1} y
+    y_train: jax.Array  # (n,)
+    length_scale: jax.Array  # scalar
+
+
+def _nll(log_ell: jax.Array, x: jax.Array, y: jax.Array) -> jax.Array:
+    """Negative log marginal likelihood at a given log length-scale."""
+    n = x.shape[0]
+    K = matern52(x, x, jnp.exp(log_ell)) + _JITTER * jnp.eye(n, dtype=x.dtype)
+    L = jnp.linalg.cholesky(K)
+    alpha = jax.scipy.linalg.cho_solve((L, True), y)
+    logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L)))
+    return 0.5 * jnp.dot(y, alpha) + 0.5 * logdet + 0.5 * n * jnp.log(2.0 * jnp.pi)
+
+
+@partial(jax.jit, static_argnames=("n_restarts", "max_iter"))
+def fit(x: jax.Array, y: jax.Array, key: jax.Array, n_restarts: int = 10, max_iter: int = 50) -> GP:
+    """MLE length-scale fit with vmapped random restarts, then factorize.
+
+    Restarts draw log-uniform from the sklearn default bounds [1e-2, 1e2]
+    (narrowed from sklearn's [1e-5, 1e5] for conditioning; the racing-line
+    alphas live in a unit box so this brackets every plausible scale).
+    """
+    x = jnp.asarray(x)
+    y = jnp.asarray(y)
+    starts = jnp.concatenate(
+        [
+            jnp.zeros((1,), x.dtype),  # ell = 1.0, the sklearn initial value
+            jax.random.uniform(key, (n_restarts,), x.dtype, jnp.log(1e-2), jnp.log(1e2)),
+        ]
+    )
+
+    def solve(log_ell0):
+        res = optimize.minimize_lbfgs(
+            lambda le: _nll(le.reshape(()), x, y), log_ell0.reshape(1), max_iter=max_iter
+        )
+        return res.x.reshape(()), res.fun
+
+    log_ells, nlls = jax.vmap(solve)(starts)
+    best = jnp.argmin(jnp.where(jnp.isfinite(nlls), nlls, jnp.inf))
+    ell = jnp.exp(log_ells[best])
+    n = x.shape[0]
+    K = matern52(x, x, ell) + _JITTER * jnp.eye(n, dtype=x.dtype)
+    L = jnp.linalg.cholesky(K)
+    weights = jax.scipy.linalg.cho_solve((L, True), y)
+    return GP(x_train=x, chol=L, weights=weights, y_train=y, length_scale=ell)
+
+
+@jax.jit
+def predict(gp: GP, x_query: jax.Array):
+    """Posterior mean and std at x_query (m, d)."""
+    kq = matern52(gp.x_train, x_query, gp.length_scale)  # (n, m)
+    mean = kq.T @ gp.weights
+    v = jax.scipy.linalg.solve_triangular(gp.chol, kq, lower=True)  # (n, m)
+    var = 1.0 - jnp.sum(v * v, axis=0)  # Matérn prior variance is 1 at r=0
+    return mean, jnp.sqrt(jnp.maximum(var, 0.0))

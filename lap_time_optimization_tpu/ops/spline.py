@@ -1,0 +1,245 @@
+"""Differentiable cubic-spline kernels (the FITPACK replacement).
+
+The reference parameterizes racing lines with `scipy.interpolate.splprep(
+controls, u=chord_dists, k=3, s=0, per=closed)` (reference src/path.py:25) and
+evaluates positions/derivatives with `splev`.  That path — a Fortran fit living
+outside the autodiff graph — forces the reference into finite-difference
+L-BFGS-B.  Here the fit itself is a fixed-size linear solve expressed in JAX so
+the whole alphas → spline → curvature → velocity → lap-time pipeline is one
+jittable, differentiable, vmappable graph.
+
+Math: an interpolating periodic C² cubic spline with knots at the data sites is
+unique, so for closed tracks this module reproduces FITPACK's `per=1`
+interpolant exactly (up to roundoff).  We solve the classic "moment" (second
+derivative) formulation: a cyclic tridiagonal system for closed curves and a
+not-a-knot system for open curves.  The dense solve is O(n³) but n is the
+control-point count (~130); batched over thousands of candidates it maps onto
+the MXU as one batched LU — far better on TPU than a sequential Thomas scan.
+
+Evaluation gathers the bracketing interval with `searchsorted` and evaluates
+the cubic in Hermite/moment form; derivatives are analytic.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Spline2D:
+    """A fitted 2-D cubic spline, stored per-interval for static-shape eval.
+
+    Data fields are arrays (leaves); `closed` is static metadata so jit traces
+    separate programs for open/closed splines.
+    """
+
+    tk: jax.Array  # (m+1,) interval edges in parameter space
+    pj: jax.Array  # (2, m) left endpoint of each interval
+    pj1: jax.Array  # (2, m) right endpoint of each interval
+    Mj: jax.Array  # (2, m) second derivative (moment) at left endpoint
+    Mj1: jax.Array  # (2, m) moment at right endpoint
+    h: jax.Array  # (m,) interval widths
+    controls: jax.Array  # (2, n_ctrl) original control points (incl. duplicate)
+    length: jax.Array  # scalar, total parameter length (chord length)
+    closed: bool = dataclasses.field(metadata=dict(static=True), default=False)
+
+
+def chord_lengths(points: jax.Array) -> jax.Array:
+    """Cumulative linear (chord) distance at each point; points is (2, n).
+
+    Mirrors the reference's `cumulative_distances` (src/path.py:11-14).
+    """
+    seg = jnp.sqrt(jnp.sum(jnp.diff(points, axis=1) ** 2, axis=0))
+    return jnp.concatenate([jnp.zeros((1,), seg.dtype), jnp.cumsum(seg)])
+
+
+def _cyclic_moment_system(p: jax.Array, h: jax.Array):
+    """Build the cyclic tridiagonal system A @ M = rhs for a periodic spline.
+
+    p: (2, n) distinct points; h: (n,) interval widths, h[i] = t[i+1]-t[i]
+    with period T = sum(h).  Continuity of S' at each knot gives, for every i
+    (indices mod n):
+      h[i-1]/6 M[i-1] + (h[i-1]+h[i])/3 M[i] + h[i]/6 M[i+1]
+        = (p[i+1]-p[i])/h[i] - (p[i]-p[i-1])/h[i-1]
+    """
+    n = h.shape[0]
+    idx = jnp.arange(n)
+    im1 = (idx - 1) % n
+    ip1 = (idx + 1) % n
+    h_im1 = h[im1]
+    rhs = (p[:, ip1] - p) / h - (p - p[:, im1]) / h_im1  # (2, n)
+    A = jnp.zeros((n, n), dtype=h.dtype)
+    A = A.at[idx, im1].add(h_im1 / 6.0)
+    A = A.at[idx, idx].add((h_im1 + h) / 3.0)
+    A = A.at[idx, ip1].add(h / 6.0)
+    return A, rhs
+
+
+def _notaknot_moment_system(p: jax.Array, h: jax.Array):
+    """Moment system for an open spline with not-a-knot end conditions.
+
+    p: (2, n) points; h: (n-1,) interval widths.  Interior rows are the
+    standard C¹-continuity equations; the first/last rows impose third
+    derivative continuity across the first/last interior knots.
+    """
+    n = p.shape[1]
+    i = jnp.arange(1, n - 1)
+    rhs = jnp.zeros((2, n), dtype=p.dtype)
+    rhs = rhs.at[:, i].set((p[:, i + 1] - p[:, i]) / h[i] - (p[:, i] - p[:, i - 1]) / h[i - 1])
+    A = jnp.zeros((n, n), dtype=h.dtype)
+    A = A.at[i, i - 1].add(h[i - 1] / 6.0)
+    A = A.at[i, i].add((h[i - 1] + h[i]) / 3.0)
+    A = A.at[i, i + 1].add(h[i] / 6.0)
+    # not-a-knot at t[1]:   M0*h1 - M1*(h0+h1) + M2*h0 = 0
+    A = A.at[0, 0].set(h[1])
+    A = A.at[0, 1].set(-(h[0] + h[1]))
+    A = A.at[0, 2].set(h[0])
+    # not-a-knot at t[n-2]: M[n-3]*h[n-2] - M[n-2]*(h[n-3]+h[n-2]) + M[n-1]*h[n-3] = 0
+    A = A.at[n - 1, n - 3].set(h[n - 2])
+    A = A.at[n - 1, n - 2].set(-(h[n - 3] + h[n - 2]))
+    A = A.at[n - 1, n - 1].set(h[n - 3])
+    return A, rhs
+
+
+@partial(jax.jit, static_argnames=("closed",))
+def fit(points: jax.Array, closed: bool) -> Spline2D:
+    """Fit an interpolating cubic spline through `points` (2, n_pts).
+
+    Chord-length parameterized, matching the reference's
+    `splprep(..., u=cumulative_distances(controls), k=3, s=0, per=closed)`
+    (src/path.py:20-26).  For closed curves the last point must duplicate the
+    first (as the reference's `Track.control_points` guarantees); the duplicate
+    defines the period and is otherwise ignored, like FITPACK's `per=1`.
+    """
+    points = jnp.asarray(points)
+    t = chord_lengths(points)
+    if closed:
+        n = points.shape[1] - 1
+        p = points[:, :n]
+        h = jnp.diff(t)  # (n,)
+        A, rhs = _cyclic_moment_system(p, h)
+        M = jnp.linalg.solve(A, rhs.T).T  # (2, n)
+        ip1 = (jnp.arange(n) + 1) % n
+        return Spline2D(
+            tk=t,
+            pj=p,
+            pj1=p[:, ip1],
+            Mj=M,
+            Mj1=M[:, ip1],
+            h=h,
+            controls=points,
+            length=t[-1],
+            closed=True,
+        )
+    h = jnp.diff(t)  # (n-1,)
+    A, rhs = _notaknot_moment_system(points, h)
+    M = jnp.linalg.solve(A, rhs.T).T  # (2, n)
+    return Spline2D(
+        tk=t,
+        pj=points[:, :-1],
+        pj1=points[:, 1:],
+        Mj=M[:, :-1],
+        Mj1=M[:, 1:],
+        h=h,
+        controls=points,
+        length=t[-1],
+        closed=False,
+    )
+
+
+def _locate(sp: Spline2D, u: jax.Array):
+    """Map parameter values to (interval index, local coordinates)."""
+    if sp.closed:
+        u = jnp.mod(u, sp.length)
+    m = sp.h.shape[0]
+    j = jnp.clip(jnp.searchsorted(sp.tk, u, side="right") - 1, 0, m - 1)
+    ta = sp.tk[j + 1] - u  # distance to right knot
+    tb = u - sp.tk[j]  # distance from left knot
+    return j, ta, tb
+
+
+@partial(jax.jit, static_argnames=("der",))
+def evaluate(sp: Spline2D, u: jax.Array, der: int = 0) -> jax.Array:
+    """Evaluate the spline (or its der-th parameter derivative) at `u`.
+
+    Returns (2, *u.shape).  Replaces `scipy.interpolate.splev` calls at
+    reference src/path.py:33,51,54,69,72.
+    """
+    u = jnp.asarray(u)
+    j, ta, tb = _locate(sp, u)
+    h = sp.h[j]
+    Mj, Mj1 = sp.Mj[:, j], sp.Mj1[:, j]
+    pj, pj1 = sp.pj[:, j], sp.pj1[:, j]
+    inv_h = 1.0 / h
+    if der == 0:
+        return (
+            Mj * ta**3 * (inv_h / 6.0)
+            + Mj1 * tb**3 * (inv_h / 6.0)
+            + (pj * inv_h - Mj * h / 6.0) * ta
+            + (pj1 * inv_h - Mj1 * h / 6.0) * tb
+        )
+    if der == 1:
+        return (
+            -Mj * ta**2 * (inv_h / 2.0)
+            + Mj1 * tb**2 * (inv_h / 2.0)
+            - (pj * inv_h - Mj * h / 6.0)
+            + (pj1 * inv_h - Mj1 * h / 6.0)
+        )
+    if der == 2:
+        return Mj * ta * inv_h + Mj1 * tb * inv_h
+    if der == 3:
+        return (Mj1 - Mj) * inv_h
+    raise ValueError(f"der must be in 0..3, got {der}")
+
+
+@partial(jax.jit, static_argnames=("signed",))
+def curvature(sp: Spline2D, u: jax.Array, signed: bool = False) -> jax.Array:
+    """Signed or absolute curvature κ(u) of the planar curve.
+
+    κ = (x' y'' − y' x'') / (x'² + y'²)^{3/2}, derivatives w.r.t. the chord
+    parameter — the same formula as reference src/path.py:56-61.
+    """
+    d1 = evaluate(sp, u, der=1)
+    d2 = evaluate(sp, u, der=2)
+    num = d1[0] * d2[1] - d1[1] * d2[0]
+    den = (d1[0] ** 2 + d1[1] ** 2) ** 1.5
+    k = num / den
+    return k if signed else jnp.abs(k)
+
+
+@jax.jit
+def gamma2(sp: Spline2D, u: jax.Array) -> jax.Array:
+    """Curvature energy Γ² = Σ κ(uᵢ)² over the sample points.
+
+    The curvature-minimization objective (reference src/path.py:63-77).
+    """
+    k = curvature(sp, u, signed=True)
+    return jnp.sum(k * k)
+
+
+@partial(jax.jit, static_argnames=("n_samples",))
+def arc_length_table(sp: Spline2D, n_samples: int = 1000):
+    """Cumulative arc length over a uniform parameter grid.
+
+    Returns (u_sampled, arc_lengths) with trapezoid integration of
+    ‖dS/du‖ — the JAX analogue of reference src/path.py:156-172.
+    """
+    u = jnp.linspace(0.0, sp.length, n_samples)
+    d1 = evaluate(sp, u, der=1)
+    speed = jnp.sqrt(d1[0] ** 2 + d1[1] ** 2)
+    ds = 0.5 * (speed[1:] + speed[:-1]) * jnp.diff(u)
+    arc = jnp.concatenate([jnp.zeros((1,), ds.dtype), jnp.cumsum(ds)])
+    return u, arc
+
+
+def u_of_arc_length(u_sampled: jax.Array, arc_sampled: jax.Array, s: jax.Array) -> jax.Array:
+    """Invert the arc-length table: s ↦ u by linear interpolation.
+
+    Mirrors reference `find_u_given_s` (src/path.py:174-185).
+    """
+    return jnp.interp(s, arc_sampled, u_sampled)

@@ -1,0 +1,122 @@
+"""JSON IO: tracks, vehicles, and the racing-line → NMPC artifact schemas.
+
+Schemas are byte-compatible with the reference so artifacts interoperate both
+ways (SURVEY.md §2.2):
+
+* track:      {"name", "left": {"x", "y"}, "right": {"x", "y"}}
+* vehicle:    tbr18-style {"name","mass","frictionCoefficient","engineMap"}
+              or MX5-style JSON-with-comments (Pacejka parameters)
+* artifacts:  path/left/right = {"name", "path": {"x","y"}},
+              widths = {"name", "width": [...]},
+              velocities = {"name", "velocities": [...]}
+
+Deliberate fix vs the reference: artifact files are joined with os.path.join
+instead of a literal backslash f-string (reference src/utils.py:117,126,135
+writes files named `dir\name.json` on Linux).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+
+import numpy as np
+
+#: Candidate data roots, first match wins. The reference checkout's data dir is
+#: the fallback so golden-parity tests run out of the box.
+_DATA_DIR_CANDIDATES = (
+    os.environ.get("LTO_DATA_DIR"),
+    os.path.join(os.getcwd(), "data"),
+    "/root/reference/data",
+)
+
+
+def default_data_dir() -> str:
+    for cand in _DATA_DIR_CANDIDATES:
+        if cand and os.path.isdir(cand):
+            return cand
+    raise FileNotFoundError(
+        "No data directory found; set LTO_DATA_DIR or create ./data "
+        "(expected subdirs tracks/ and vehicles/)"
+    )
+
+
+def resolve_track(name_or_path: str) -> str:
+    """Accept either a JSON path or a bare track name like 'buckmore'."""
+    if os.path.isfile(name_or_path):
+        return name_or_path
+    cand = os.path.join(default_data_dir(), "tracks", f"{name_or_path}.json")
+    if os.path.isfile(cand):
+        return cand
+    raise FileNotFoundError(f"track not found: {name_or_path}")
+
+
+def resolve_vehicle(name_or_path: str) -> str:
+    if os.path.isfile(name_or_path):
+        return name_or_path
+    cand = os.path.join(default_data_dir(), "vehicles", f"{name_or_path}.json")
+    if os.path.isfile(cand):
+        return cand
+    raise FileNotFoundError(f"vehicle not found: {name_or_path}")
+
+
+def strip_json_comments(text: str) -> str:
+    """Remove // line and /* block */ comments (MX5.json uses both)."""
+    text = re.sub(r"//.*", "", text)
+    return re.sub(r"/\*.*?\*/", "", text, flags=re.DOTALL)
+
+
+def load_jsonc(path: str) -> dict:
+    with open(path, "r") as f:
+        return json.loads(strip_json_comments(f.read()))
+
+
+def load_track_json(path: str):
+    """Return (name, left(2,n), right(2,n)) cone arrays (float64 numpy)."""
+    data = load_jsonc(path)
+    left = np.asarray([data["left"]["x"], data["left"]["y"]], dtype=np.float64)
+    right = np.asarray([data["right"]["x"], data["right"]["y"]], dtype=np.float64)
+    return data["name"], left, right
+
+
+def save_path_json(dirpath: str, x, y, name: str) -> str:
+    os.makedirs(dirpath, exist_ok=True)
+    out = os.path.join(dirpath, f"{name}.json")
+    with open(out, "w") as f:
+        json.dump({"name": name, "path": {"x": np.asarray(x).tolist(), "y": np.asarray(y).tolist()}}, f, indent=4)
+    return out
+
+
+def save_widths_json(dirpath: str, widths, name: str = "widths") -> str:
+    os.makedirs(dirpath, exist_ok=True)
+    out = os.path.join(dirpath, f"{name}.json")
+    with open(out, "w") as f:
+        json.dump({"name": name, "width": np.asarray(widths).tolist()}, f, indent=4)
+    return out
+
+
+def save_velocities_json(dirpath: str, velocities, name: str = "velocities") -> str:
+    os.makedirs(dirpath, exist_ok=True)
+    out = os.path.join(dirpath, f"{name}.json")
+    with open(out, "w") as f:
+        json.dump({"name": name, "velocities": np.asarray(velocities).tolist()}, f, indent=4)
+    return out
+
+
+def load_artifact(path: str):
+    """Load one artifact JSON: returns (x, y) for paths, or a 1-D array."""
+    with open(path, "r") as f:
+        data = json.load(f)
+    if "path" in data:
+        return np.asarray(data["path"]["x"]), np.asarray(data["path"]["y"])
+    if "width" in data:
+        return np.asarray(data["width"])
+    if "velocities" in data:
+        return np.asarray(data["velocities"])
+    raise ValueError(f"unrecognised artifact schema in {path}")
+
+
+def artifact_dir(base: str, vehicle_name: str, track_name: str, method: str) -> str:
+    """data/plots/<vehicle>/<track>/<method>/ — reference src/__main__.py:178-184."""
+    return os.path.join(base, "plots", vehicle_name, track_name, method)

@@ -1,0 +1,97 @@
+"""End-to-end racing-line parity vs the reference README baselines.
+
+Golden oracles (SURVEY.md §4): README results tables for buckmore
+(README.md:119-134).  Tolerances are method-appropriate: gradient methods on
+a non-convex landscape land on slightly different minimizers than the
+reference's finite-difference L-BFGS-B, so lap times are gated at ~2%, while
+the direct lap-time method must *beat* the reference (we have exact
+gradients through the velocity solver; the reference numerically
+differentiates the whole 3-pass solve).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lap_time_optimization_tpu.optim import racing_line
+
+REF_CURVATURE_LAP_TBR18 = 39.934  # README.md:121
+REF_LAPTIME_LAP_TBR18 = 40.892  # README.md:121
+REF_CURVATURE_LAP_MX5 = 49.172  # README.md:130
+
+
+class TestCurvatureMethod:
+    @pytest.fixture(scope="class")
+    def result(self, buckmore):
+        res = racing_line.minimise_curvature(buckmore, max_iter=600)
+        return res
+
+    def test_converges(self, result):
+        assert float(result.grad_norm) < 1e-2
+        assert np.all(np.asarray(result.x) >= 0.0) and np.all(np.asarray(result.x) <= 1.0)
+
+    def test_gamma2_at_least_as_good_as_reference_optimum(self, buckmore, result):
+        """Our optimizer must reach a Γ² at least as low as scipy L-BFGS-B
+        (the reference's optimizer) achieves on the identical objective."""
+        from scipy.optimize import Bounds, minimize
+
+        import jax
+
+        obj = jax.jit(lambda a: racing_line.gamma2_objective(buckmore, a))
+        grad = jax.jit(jax.grad(lambda a: racing_line.gamma2_objective(buckmore, a)))
+        res_sp = minimize(
+            lambda a: float(obj(jnp.asarray(a))),
+            np.full(buckmore.size, 0.5),
+            jac=lambda a: np.asarray(grad(jnp.asarray(a))),
+            method="L-BFGS-B",
+            bounds=Bounds(0.0, 1.0),
+        )
+        assert float(result.fun) <= res_sp.fun * 1.001
+
+    def test_lap_time_near_reference(self, buckmore, tbr18, result):
+        lap, length, v, _ = racing_line.evaluate_jit(buckmore, tbr18, result.x)
+        assert abs(float(lap) - REF_CURVATURE_LAP_TBR18) / REF_CURVATURE_LAP_TBR18 < 0.02
+        assert abs(float(length) - 860.772) / 860.772 < 0.02
+
+    def test_lap_time_near_reference_mx5(self, buckmore, mx5, result):
+        lap, _, _, _ = racing_line.evaluate_jit(buckmore, mx5, result.x)
+        assert abs(float(lap) - REF_CURVATURE_LAP_MX5) / REF_CURVATURE_LAP_MX5 < 0.02
+
+
+class TestDirectLapTime:
+    def test_beats_reference(self, buckmore, tbr18):
+        res = racing_line.minimise_lap_time(buckmore, tbr18, max_iter=300)
+        lap, _, _, _ = racing_line.evaluate_jit(buckmore, tbr18, res.x)
+        # exact gradients must beat the reference's finite-difference result
+        assert float(lap) < REF_LAPTIME_LAP_TBR18
+
+
+class TestCompromise:
+    def test_optimal_compromise(self, buckmore, tbr18):
+        alphas, epsilon, history = racing_line.minimise_optimal_compromise(
+            buckmore, tbr18, n_grid=8, n_refine=1, max_iter=200
+        )
+        assert 0.0 <= epsilon <= 0.2  # reference bounds, src/trajectory.py:99
+        lap, _, _, _ = racing_line.evaluate_jit(buckmore, tbr18, alphas)
+        # reference compromise result is 37.810 (README.md:121); gate loosely
+        assert float(lap) < 40.0
+        assert history.shape[1] == 2
+
+    def test_estimated_compromise(self, buckmore, tbr18):
+        alphas, epsilon = racing_line.minimise_estimated_compromise(buckmore, tbr18, max_iter=200)
+        assert 0.0 < epsilon < 0.2
+        lap, _, _, _ = racing_line.evaluate_jit(buckmore, tbr18, alphas)
+        assert float(lap) < 42.0
+
+
+class TestSectors:
+    def test_sector_merge(self, buckmore, tbr18):
+        alphas, eps_w, corners = racing_line.optimise_sectors(
+            buckmore, tbr18, n_grid=4, max_iter=150
+        )
+        assert alphas.shape == (buckmore.size,)
+        assert np.all(np.asarray(alphas) >= -1e-9) and np.all(np.asarray(alphas) <= 1.0 + 1e-9)
+        assert len(eps_w) == corners.shape[0]
+        lap, _, _, _ = racing_line.evaluate_jit(buckmore, tbr18, jnp.clip(alphas, 0.0, 1.0))
+        # merged sector paths should be competitive with the centerline (~47s)
+        assert float(lap) < 44.0
