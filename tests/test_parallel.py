@@ -1,0 +1,68 @@
+"""Multi-device sharding tests on the virtual 8-CPU mesh (SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lap_time_optimization_tpu.parallel import mesh as pmesh
+
+
+@pytest.fixture(scope="module")
+def eight_devices():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices (XLA_FLAGS=--xla_force_host_platform_device_count=8)")
+    return jax.devices()[:8]
+
+
+class TestMesh:
+    def test_make_mesh_shapes(self, eight_devices):
+        m = pmesh.make_mesh(8, sp=2)
+        assert m.shape["dp"] == 4 and m.shape["sp"] == 2
+        m1 = pmesh.make_mesh(1)
+        assert m1.shape["dp"] == 1 and m1.shape["sp"] == 1
+
+    def test_sharded_matches_single_device(self, eight_devices, buckmore, tbr18, rng):
+        """The dp-sharded batch evaluation must equal the unsharded result —
+        the determinism-across-meshes parity gate."""
+        alphas = jnp.asarray(rng.uniform(0.2, 0.8, size=(16, buckmore.size)))
+        t_single = np.asarray(pmesh.batch_lap_times(buckmore, tbr18, alphas))
+        mesh = pmesh.make_mesh(8, sp=2)
+        with jax.set_mesh(mesh):
+            a_sharded = pmesh.shard_batch(mesh, alphas)
+            t_sharded = np.asarray(pmesh.batch_lap_times(buckmore, tbr18, a_sharded))
+        np.testing.assert_allclose(t_single, t_sharded, rtol=1e-9)
+
+    def test_search_step_runs_sharded(self, eight_devices, buckmore, tbr18):
+        mesh = pmesh.make_mesh(8, sp=2)
+        key = jax.random.PRNGKey(0)
+        alphas = jax.random.uniform(key, (32, buckmore.size), buckmore.left.dtype)
+        with jax.set_mesh(mesh):
+            a = pmesh.shard_batch(mesh, alphas)
+            new_batch, t_best, a_best = pmesh.search_step(
+                buckmore, tbr18, a, key, jnp.asarray(0.1, buckmore.left.dtype), elite=4
+            )
+        assert np.isfinite(float(t_best))
+        assert new_batch.shape == (32, buckmore.size)
+        # elitism: slot 0 carries the incumbent
+        np.testing.assert_allclose(np.asarray(new_batch[0]), np.asarray(a_best))
+
+    def test_evolutionary_search_improves(self, eight_devices, buckmore, tbr18):
+        _, hist = pmesh.evolutionary_search(
+            buckmore, tbr18, mesh=pmesh.make_mesh(8, sp=2), batch=64, rounds=5, seed=0
+        )
+        assert hist[-1] <= hist[0]
+
+
+class TestGraftEntry:
+    def test_entry_compiles(self):
+        import __graft_entry__ as ge
+
+        fn, args = ge.entry()
+        out = jax.jit(fn)(*args)
+        assert np.all(np.isfinite(np.asarray(out)))
+
+    def test_dryrun_multichip(self, eight_devices):
+        import __graft_entry__ as ge
+
+        ge.dryrun_multichip(8)
