@@ -16,6 +16,22 @@ differentiable end-to-end, and vmappable over candidate batches.
 
 __version__ = "0.1.0"
 
+import os as _os
+
+import jax as _jax
+
+# Persistent XLA compilation cache: TPU compiles (especially over remote
+# tunnels) dominate cold-start wall time; cache them across processes.
+try:  # pragma: no cover - depends on jax build
+    _cache_dir = _os.environ.get(
+        "LTO_JAX_CACHE", _os.path.expanduser("~/.cache/lto_jax_cache")
+    )
+    if _cache_dir and _cache_dir.lower() != "off":
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+
 from lap_time_optimization_tpu.ops import spline  # noqa: F401
 from lap_time_optimization_tpu.track import Track  # noqa: F401
 

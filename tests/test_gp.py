@@ -1,0 +1,89 @@
+"""GP regression vs sklearn oracle (the reference's GP backend, tbn.py:161-162)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lap_time_optimization_tpu.ops import gp as gp_ops
+
+
+@pytest.fixture(scope="module")
+def dataset(rng):
+    x = rng.uniform(0, 1, size=(30, 5))
+    y = np.sin(3 * x[:, 0]) + 0.5 * x[:, 1] ** 2 + 0.1 * rng.standard_normal(30)
+    return x, y
+
+
+class TestKernel:
+    def test_matern52_matches_sklearn(self, dataset):
+        sklearn = pytest.importorskip("sklearn.gaussian_process.kernels")
+        x, _ = dataset
+        for ell in (0.3, 1.0, 2.7):
+            ours = np.asarray(gp_ops.matern52(jnp.asarray(x), jnp.asarray(x), ell))
+            ref = sklearn.Matern(nu=2.5, length_scale=ell)(x)
+            np.testing.assert_allclose(ours, ref, atol=1e-10)
+
+
+class TestFitPredict:
+    def test_predict_matches_sklearn_at_fixed_lengthscale(self, dataset):
+        GaussianProcessRegressor = pytest.importorskip(
+            "sklearn.gaussian_process"
+        ).GaussianProcessRegressor
+        from sklearn.gaussian_process.kernels import Matern
+
+        x, y = dataset
+        ell = 0.8
+        # build our GP at a fixed length scale (bypass MLE) to isolate algebra
+        K = np.asarray(gp_ops.matern52(jnp.asarray(x), jnp.asarray(x), ell)) + 1e-10 * np.eye(30)
+        L = np.linalg.cholesky(K)
+        import scipy.linalg
+
+        weights = scipy.linalg.cho_solve((L, True), y)
+        ours = gp_ops.GP(
+            x_train=jnp.asarray(x),
+            chol=jnp.asarray(L),
+            weights=jnp.asarray(weights),
+            y_train=jnp.asarray(y),
+            length_scale=jnp.asarray(ell),
+        )
+        xq = np.linspace(0, 1, 7)[:, None] * np.ones((1, 5))
+        mean, std = gp_ops.predict(ours, jnp.asarray(xq))
+
+        skl = GaussianProcessRegressor(
+            kernel=Matern(nu=2.5, length_scale=ell), optimizer=None, alpha=1e-10
+        ).fit(x, y)
+        ref_mean, ref_std = skl.predict(xq, return_std=True)
+        np.testing.assert_allclose(np.asarray(mean), ref_mean, atol=1e-8)
+        np.testing.assert_allclose(np.asarray(std), ref_std, atol=1e-6)
+
+    def test_mle_fit_reasonable(self, dataset):
+        x, y = dataset
+        model = gp_ops.fit(jnp.asarray(x), jnp.asarray(y), jax.random.PRNGKey(0))
+        # interpolates training data closely at the fitted length scale
+        mean, _ = gp_ops.predict(model, jnp.asarray(x))
+        np.testing.assert_allclose(np.asarray(mean), y, atol=1e-3)
+        assert 1e-3 < float(model.length_scale) < 1e3
+
+
+class TestGlobalSearch:
+    def test_nonlinear_small_budget(self, buckmore, tbr18):
+        from lap_time_optimization_tpu.optim import global_search
+
+        best_x, best_f = global_search.nonlinear(
+            buckmore, tbr18, seed=0, n_random=64, n_refine=4, max_iter=40
+        )
+        assert best_x.shape == (buckmore.n_decongested,)
+        # must beat the centerline comfortably (centerline ≈ 47 s)
+        assert best_f < 42.0
+
+    def test_bayesian_small_budget(self, buckmore, tbr18):
+        from lap_time_optimization_tpu.optim import global_search
+
+        best_x, best_f, info = global_search.bayesian(
+            buckmore, tbr18, seed=0, n_init=6, n_local=16, n_uniform=16,
+            max_rounds=6, min_samples=5, sigma_window=4,
+        )
+        assert best_f < 42.0
+        assert info["rounds"] <= 6
+        assert len(info["sigma_history"]) == info["rounds"]
