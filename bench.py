@@ -56,6 +56,25 @@ def main():
         f"{xs[-1,0]:.1f} m, max violation {float(np.max(np.asarray(sim.violations))):.4f}",
         file=sys.stderr,
     )
+
+    # batched-throughput context metric (production serving: B parallel loops)
+    try:
+        B = int(os.environ.get("LTO_BENCH_BATCH", "32"))
+        bsteps = max(10, steps // 5)
+        x0b = jnp.tile(x0[None], (B, 1)) + 0.01 * jnp.arange(B, dtype=x0.dtype)[:, None]
+        simb = runner.closed_loop_batch(model, p, cfg, x0b, bsteps)
+        simb.xs.block_until_ready()
+        t0 = time.time()
+        simb = runner.closed_loop_batch(model, p, cfg, x0b, bsteps)
+        simb.xs.block_until_ready()
+        bwall = time.time() - t0
+        print(
+            f"[bench] batched throughput: {B} loops x {bsteps} steps in "
+            f"{bwall:.2f}s = {B * bsteps / bwall:.0f} solves/s/chip",
+            file=sys.stderr,
+        )
+    except Exception as e:  # throughput metric is best-effort context
+        print(f"[bench] batched throughput failed: {e}", file=sys.stderr)
     print(
         json.dumps(
             {

@@ -50,6 +50,14 @@ def closed_loop(
     lam_warm = jnp.zeros((N + 1, N_CON), dtype)
     u_prev = jnp.zeros((NU,), dtype)
 
+    # presolve: burn in the warm start at t=0 so the first applied control
+    # doesn't carry the cold-start transient (do_mpc's set_initial_guess
+    # analogue, reference src/mpc.py:118)
+    z0_init = jnp.concatenate([x0, u_prev])
+    for _ in range(2):
+        warm = solver_mod.solve(model, p, cfg, z0_init, us_warm, lam_warm)
+        us_warm, lam_warm = warm.us, warm.lam
+
     def step_fn(carry, _):
         x, us_warm, lam_warm, u_prev = carry
         z0 = jnp.concatenate([x, u_prev])
@@ -69,6 +77,22 @@ def closed_loop(
     xs_full = jnp.concatenate([x0[None], xs], axis=0)
     us_full = jnp.concatenate([jnp.zeros((1, NU), dtype), us], axis=0)
     return SimResult(xs=xs_full, us=us_full, costs=costs, violations=viols, sdot=sdots)
+
+
+@partial(jax.jit, static_argnames=("cfg", "steps"))
+def closed_loop_batch(
+    model: BicycleModel,
+    p: OCPParams,
+    cfg: SolverConfig,
+    x0_batch: jax.Array,
+    steps: int,
+) -> SimResult:
+    """Vmapped fleet of independent closed loops (B, ...) — the production
+    serving path: B cars / scenarios / parameter variations simulated
+    simultaneously on one chip.  Throughput scales with B until the chip
+    saturates, amortizing the per-step dispatch latency that bounds the
+    single-stream rate."""
+    return jax.vmap(lambda x0: closed_loop(model, p, cfg, x0, steps))(x0_batch)
 
 
 def tire_logs(model: BicycleModel, xs: jax.Array):

@@ -129,3 +129,44 @@ class TestAnalyticCases:
         g = jax.grad(lap)(alphas)
         assert bool(jnp.all(jnp.isfinite(g)))
         assert float(jnp.linalg.norm(g)) > 0
+
+
+class TestParallelSolver:
+    """Log-depth associative-scan variant must converge to the sequential
+    profile (SURVEY.md §5 sequence-parallel plan)."""
+
+    def test_matches_sequential_tbr18(self, tbr18, buckmore_samples):
+        s, k, s_max = buckmore_samples
+        vs = np.asarray(velocity.solve_profile(tbr18, jnp.asarray(s), jnp.asarray(k), s_max, closed=True))
+        vp = np.asarray(
+            velocity.solve_profile_parallel(tbr18, jnp.asarray(s), jnp.asarray(k), s_max, closed=True, sweeps=24)
+        )
+        np.testing.assert_allclose(vp, vs, rtol=1e-6)
+
+    def test_matches_sequential_mx5_few_sweeps(self, mx5, buckmore_samples):
+        s, k, s_max = buckmore_samples
+        vs = np.asarray(velocity.solve_profile(mx5, jnp.asarray(s), jnp.asarray(k), s_max, closed=True))
+        vp = np.asarray(
+            velocity.solve_profile_parallel(mx5, jnp.asarray(s), jnp.asarray(k), s_max, closed=True, sweeps=4)
+        )
+        np.testing.assert_allclose(vp, vs, rtol=1e-5)
+
+    def test_open_track(self, tbr18, buckmore_samples):
+        s, k, _ = buckmore_samples
+        s_o, k_o = s[:400], k[:400]
+        vs = np.asarray(velocity.solve_profile(tbr18, jnp.asarray(s_o), jnp.asarray(k_o), None, closed=False))
+        vp = np.asarray(
+            velocity.solve_profile_parallel(tbr18, jnp.asarray(s_o), jnp.asarray(k_o), None, closed=False, sweeps=24)
+        )
+        np.testing.assert_allclose(vp, vs, rtol=1e-6)
+
+    def test_vmappable(self, tbr18, buckmore_samples, rng):
+        import jax
+
+        s, k, s_max = buckmore_samples
+        k_batch = jnp.asarray(np.stack([k * f for f in (0.9, 1.0, 1.1)]))
+        vp = jax.vmap(
+            lambda kk: velocity.solve_profile_parallel(tbr18, jnp.asarray(s), kk, s_max, closed=True)
+        )(k_batch)
+        assert vp.shape == (3, len(s))
+        assert bool(jnp.all(jnp.isfinite(vp)))
