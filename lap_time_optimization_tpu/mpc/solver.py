@@ -252,8 +252,14 @@ def _backward_pass(model, p, cfg, zs, us, lams, rho, reg):
         Quu = luu_k + B_k.T @ Vzz @ B_k
         Quz = luz_k + B_k.T @ Vzz @ A_k
         Quu_reg = Quu + reg * I_u
-        # solve for gains; 2x2 system — solve is cheap and batched
-        kK = jnp.linalg.solve(Quu_reg, jnp.concatenate([Qu[:, None], Quz], axis=1))
+        # NU=2: invert the control Hessian in closed form (det/adjugate) —
+        # avoids a tiny LU per stage inside the sequential scan
+        a, b = Quu_reg[0, 0], Quu_reg[0, 1]
+        c, d = Quu_reg[1, 0], Quu_reg[1, 1]
+        det = a * d - b * c
+        inv = jnp.stack([jnp.stack([d, -b]), jnp.stack([-c, a])]) / det
+        rhs = jnp.concatenate([Qu[:, None], Quz], axis=1)
+        kK = inv @ rhs
         k_k = -kK[:, 0]
         K_k = -kK[:, 1:]
         Vz_new = Qz + K_k.T @ Quu @ k_k + K_k.T @ Qu + Quz.T @ k_k
