@@ -35,12 +35,25 @@ class GP:
     weights: jax.Array  # (n,) K^{-1} y
     y_train: jax.Array  # (n,)
     length_scale: jax.Array  # scalar
+    mask: jax.Array  # (n,) real-row mask for padded datasets
 
 
-def _nll(log_ell: jax.Array, x: jax.Array, y: jax.Array) -> jax.Array:
+def _masked_kernel(x, ell, mask, dtype):
+    """K + jitter, with padded rows/cols turned into decoupled unit-variance
+    points (off-diagonal zero): they contribute a constant to the likelihood
+    and nothing to predictions, so padded fits equal unpadded fits."""
+    n = x.shape[0]
+    K = matern52(x, x, ell)
+    m2 = mask[:, None] & mask[None, :]
+    K = jnp.where(m2, K, 0.0)
+    K = K.at[jnp.arange(n), jnp.arange(n)].set(jnp.where(mask, K[jnp.arange(n), jnp.arange(n)], 1.0))
+    return K + _JITTER * jnp.eye(n, dtype=dtype)
+
+
+def _nll(log_ell: jax.Array, x: jax.Array, y: jax.Array, mask: jax.Array) -> jax.Array:
     """Negative log marginal likelihood at a given log length-scale."""
     n = x.shape[0]
-    K = matern52(x, x, jnp.exp(log_ell)) + _JITTER * jnp.eye(n, dtype=x.dtype)
+    K = _masked_kernel(x, jnp.exp(log_ell), mask, x.dtype)
     L = jnp.linalg.cholesky(K)
     alpha = jax.scipy.linalg.cho_solve((L, True), y)
     logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L)))
@@ -48,15 +61,30 @@ def _nll(log_ell: jax.Array, x: jax.Array, y: jax.Array) -> jax.Array:
 
 
 @partial(jax.jit, static_argnames=("n_restarts", "max_iter"))
-def fit(x: jax.Array, y: jax.Array, key: jax.Array, n_restarts: int = 10, max_iter: int = 50) -> GP:
+def fit(
+    x: jax.Array,
+    y: jax.Array,
+    key: jax.Array,
+    n_restarts: int = 10,
+    max_iter: int = 50,
+    mask: jax.Array | None = None,
+) -> GP:
     """MLE length-scale fit with vmapped random restarts, then factorize.
 
     Restarts draw log-uniform from the sklearn default bounds [1e-2, 1e2]
     (narrowed from sklearn's [1e-5, 1e5] for conditioning; the racing-line
     alphas live in a unit box so this brackets every plausible scale).
+
+    `mask` marks real rows in a padded dataset: Bayesian search grows its
+    dataset one point per round, so callers pad to fixed-size buckets to
+    avoid per-round recompilation; padded rows are decoupled and do not
+    affect the fit or predictions.
     """
     x = jnp.asarray(x)
     y = jnp.asarray(y)
+    if mask is None:
+        mask = jnp.ones((x.shape[0],), dtype=bool)
+    y = jnp.where(mask, y, 0.0)
     starts = jnp.concatenate(
         [
             jnp.zeros((1,), x.dtype),  # ell = 1.0, the sklearn initial value
@@ -66,24 +94,24 @@ def fit(x: jax.Array, y: jax.Array, key: jax.Array, n_restarts: int = 10, max_it
 
     def solve(log_ell0):
         res = optimize.minimize_lbfgs(
-            lambda le: _nll(le.reshape(()), x, y), log_ell0.reshape(1), max_iter=max_iter
+            lambda le: _nll(le.reshape(()), x, y, mask), log_ell0.reshape(1), max_iter=max_iter
         )
         return res.x.reshape(()), res.fun
 
     log_ells, nlls = jax.vmap(solve)(starts)
     best = jnp.argmin(jnp.where(jnp.isfinite(nlls), nlls, jnp.inf))
     ell = jnp.exp(log_ells[best])
-    n = x.shape[0]
-    K = matern52(x, x, ell) + _JITTER * jnp.eye(n, dtype=x.dtype)
+    K = _masked_kernel(x, ell, mask, x.dtype)
     L = jnp.linalg.cholesky(K)
     weights = jax.scipy.linalg.cho_solve((L, True), y)
-    return GP(x_train=x, chol=L, weights=weights, y_train=y, length_scale=ell)
+    return GP(x_train=x, chol=L, weights=weights, y_train=y, length_scale=ell, mask=mask)
 
 
 @jax.jit
 def predict(gp: GP, x_query: jax.Array):
     """Posterior mean and std at x_query (m, d)."""
     kq = matern52(gp.x_train, x_query, gp.length_scale)  # (n, m)
+    kq = jnp.where(gp.mask[:, None], kq, 0.0)  # padded rows carry no signal
     mean = kq.T @ gp.weights
     v = jax.scipy.linalg.solve_triangular(gp.chol, kq, lower=True)  # (n, m)
     var = 1.0 - jnp.sum(v * v, axis=0)  # Matérn prior variance is 1 at r=0

@@ -138,27 +138,35 @@ def bayesian(
     d = track.n_decongested
     dtype = track.left.dtype
 
+    # fixed-capacity padded dataset: one compiled GP-fit shape for all rounds
+    cap = n_init + max_rounds
     key, k0 = jax.random.split(key)
-    x_data = jax.random.uniform(k0, (n_init, d), dtype, ALPHA_LO, ALPHA_HI)
-    y_data = _batch_lap_times(track, vehicle, x_data)
+    x_data = jnp.zeros((cap, d), dtype)
+    y_data = jnp.full((cap,), jnp.inf, dtype)
+    x_init = jax.random.uniform(k0, (n_init, d), dtype, ALPHA_LO, ALPHA_HI)
+    x_data = x_data.at[:n_init].set(x_init)
+    y_data = y_data.at[:n_init].set(_batch_lap_times(track, vehicle, x_init))
+    count = n_init
 
     sigma_hist: list[float] = []
     rounds = 0
     for rounds in range(1, max_rounds + 1):
         key, kf, kp = jax.random.split(key, 3)
-        model = gp_ops.fit(x_data, y_data, kf)
-        incumbent = x_data[jnp.argmin(y_data)]
+        mask = jnp.arange(cap) < count
+        model = gp_ops.fit(x_data, jnp.where(mask, y_data, 0.0), kf, mask=mask)
+        incumbent = x_data[jnp.argmin(y_data)]  # padded rows are +inf
         cands, times = _propose_and_eval(track, vehicle, kp, incumbent, n_local, n_uniform)
         j = jnp.argmin(times)
         w_star = cands[j]
         _, sig = gp_ops.predict(model, w_star[None, :])
         sigma_hist.append(float(sig[0]))
-        x_data = jnp.concatenate([x_data, w_star[None, :]], axis=0)
-        y_data = jnp.concatenate([y_data, times[j][None]], axis=0)
-        if len(y_data) > min_samples and len(sigma_hist) >= sigma_window:
+        x_data = x_data.at[count].set(w_star)
+        y_data = y_data.at[count].set(times[j])
+        count += 1
+        if count > min_samples and len(sigma_hist) >= sigma_window:
             if float(np.std(sigma_hist[-sigma_window:])) < sigma_tol:
                 break
 
     best = int(jnp.argmin(y_data))
-    info = dict(rounds=rounds, n_samples=int(len(y_data)), sigma_history=np.asarray(sigma_hist))
+    info = dict(rounds=rounds, n_samples=count, sigma_history=np.asarray(sigma_hist))
     return x_data[best], float(y_data[best]), info

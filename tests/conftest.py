@@ -44,6 +44,17 @@ def buckmore():
 
 
 @pytest.fixture(scope="session")
+def buckmore99():
+    """Width 0.99 — the configuration the reference README tables were
+    actually produced with (verified empirically: curvature/nonlinear laps
+    and path lengths match the published numbers only at this width)."""
+    _require_ref_data()
+    from lap_time_optimization_tpu.track import Track
+
+    return Track.load(os.path.join(REFERENCE_DATA, "tracks", "buckmore.json"), track_width=0.99)
+
+
+@pytest.fixture(scope="session")
 def tbr18():
     _require_ref_data()
     from lap_time_optimization_tpu.models import load_vehicle

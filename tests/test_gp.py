@@ -46,6 +46,7 @@ class TestFitPredict:
             weights=jnp.asarray(weights),
             y_train=jnp.asarray(y),
             length_scale=jnp.asarray(ell),
+            mask=jnp.ones((30,), dtype=bool),
         )
         xq = np.linspace(0, 1, 7)[:, None] * np.ones((1, 5))
         mean, std = gp_ops.predict(ours, jnp.asarray(xq))
@@ -87,3 +88,27 @@ class TestGlobalSearch:
         assert best_f < 42.0
         assert info["rounds"] <= 6
         assert len(info["sigma_history"]) == info["rounds"]
+
+
+class TestPaddedFit:
+    def test_padded_equals_unpadded(self, dataset):
+        import jax
+
+        x, y = dataset
+        key = jax.random.PRNGKey(1)
+        plain = gp_ops.fit(jnp.asarray(x), jnp.asarray(y), key)
+        cap = 48
+        xp = np.zeros((cap, x.shape[1]))
+        yp = np.zeros(cap)
+        xp[:30] = x
+        yp[:30] = y
+        mask = jnp.arange(cap) < 30
+        padded = gp_ops.fit(jnp.asarray(xp), jnp.asarray(yp), key, mask=mask)
+        np.testing.assert_allclose(
+            float(padded.length_scale), float(plain.length_scale), rtol=1e-6
+        )
+        xq = np.linspace(0, 1, 5)[:, None] * np.ones((1, x.shape[1]))
+        m1, s1 = gp_ops.predict(plain, jnp.asarray(xq))
+        m2, s2 = gp_ops.predict(padded, jnp.asarray(xq))
+        np.testing.assert_allclose(np.asarray(m2), np.asarray(m1), atol=1e-8)
+        np.testing.assert_allclose(np.asarray(s2), np.asarray(s1), atol=1e-7)

@@ -66,3 +66,24 @@ class TestGraftEntry:
         import __graft_entry__ as ge
 
         ge.dryrun_multichip(8)
+
+
+class TestScalingHarness:
+    def test_weak_scaling_runs(self, eight_devices, buckmore, tbr18):
+        from lap_time_optimization_tpu.parallel import scaling
+
+        results = scaling.measure(
+            buckmore, tbr18, device_counts=(1, 2), batch_per_device=16, rounds=2
+        )
+        assert set(results.keys()) == {1, 2}
+        for r in results.values():
+            assert r["evals_per_s"] > 0
+        out = scaling.report(results)
+        assert "efficiency" in out
+
+    def test_distributed_initialize_noop_single_process(self):
+        from lap_time_optimization_tpu.parallel import distributed
+
+        distributed.initialize()  # must no-op without a cluster
+        mesh = distributed.global_mesh(sp=2)
+        assert mesh.axis_names == ("dp", "sp")

@@ -48,14 +48,19 @@ class TestCurvatureMethod:
         )
         assert float(result.fun) <= res_sp.fun * 1.001
 
-    def test_lap_time_near_reference(self, buckmore, tbr18, result):
-        lap, length, v, _ = racing_line.evaluate_jit(buckmore, tbr18, result.x)
-        assert abs(float(lap) - REF_CURVATURE_LAP_TBR18) / REF_CURVATURE_LAP_TBR18 < 0.02
-        assert abs(float(length) - 860.772) / 860.772 < 0.02
+    def test_lap_time_near_reference(self, buckmore99, tbr18):
+        """README tables were produced at width≈0.99 (verified empirically);
+        gate: no more than 1% WORSE than published (better is a win, not a
+        parity failure) — BASELINE.md lap-time tolerance."""
+        res = racing_line.minimise_curvature(buckmore99, max_iter=600)
+        lap, length, v, _ = racing_line.evaluate_jit(buckmore99, tbr18, res.x)
+        assert float(lap) < REF_CURVATURE_LAP_TBR18 * 1.01
+        assert abs(float(length) - 860.772) / 860.772 < 0.01
 
-    def test_lap_time_near_reference_mx5(self, buckmore, mx5, result):
-        lap, _, _, _ = racing_line.evaluate_jit(buckmore, mx5, result.x)
-        assert abs(float(lap) - REF_CURVATURE_LAP_MX5) / REF_CURVATURE_LAP_MX5 < 0.02
+    def test_lap_time_near_reference_mx5(self, buckmore99, mx5):
+        res = racing_line.minimise_curvature(buckmore99, max_iter=600)
+        lap, _, _, _ = racing_line.evaluate_jit(buckmore99, mx5, res.x)
+        assert float(lap) < REF_CURVATURE_LAP_MX5 * 1.01
 
 
 class TestDirectLapTime:
