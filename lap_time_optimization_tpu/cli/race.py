@@ -67,10 +67,29 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output-dir", type=str, default="./data",
                    help="base directory for plots + JSON artifacts")
     p.add_argument("--seed", type=int, default=0, help="PRNG seed for bayes/nonlinear")
+    p.add_argument("--debug-nans", action="store_true",
+                   help="enable jax_debug_nans (the on-device sanitizer mode)")
+    p.add_argument("--profile-dir", type=str, default=None,
+                   help="write a jax.profiler trace (perfetto) to this directory")
     return p
 
 
 def run(args) -> dict:
+    import jax
+
+    if getattr(args, "debug_nans", False):
+        jax.config.update("jax_debug_nans", True)
+    from lap_time_optimization_tpu.utils import profiling
+
+    prof = profiling.trace(getattr(args, "profile_dir", None))
+    prof.__enter__()
+    try:
+        return _run_inner(args)
+    finally:
+        prof.__exit__(None, None, None)
+
+
+def _run_inner(args) -> dict:
     track = Track.load(args.track, track_width=args.track_width)
     print(f"[ Imported {track.name} ]")
     vehicle = load_vehicle(args.vehicle)
@@ -170,6 +189,16 @@ def run(args) -> dict:
     io.save_widths_json(plot_dir, np.asarray(track.widths), "widths")
     io.save_velocities_json(plot_dir, v, "velocities")
 
+    from lap_time_optimization_tpu.utils import profiling
+
+    profiling.log_metrics(
+        method=args.method,
+        track=track.name,
+        vehicle=vehicle.name,
+        lap_time_s=lap_time,
+        run_time_s=round(run_time, 3),
+        path_length_m=length,
+    )
     return dict(
         lap_time=lap_time,
         run_time=run_time,

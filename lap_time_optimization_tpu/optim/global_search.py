@@ -130,10 +130,16 @@ def bayesian(
     sigma_window: int = 10,
     sigma_tol: float = 1e-3,
     min_samples: int = 20,
+    checkpoint_path: str | None = None,
 ):
     """GP-guided global search with true-objective acquisition (vs tbn.py:120-205).
 
-    Returns (best_alphas_dec, best_lap_time, info dict)."""
+    Returns (best_alphas_dec, best_lap_time, info dict).  When
+    `checkpoint_path` is given, the (X, y, σ-history, key) state is persisted
+    every round and interrupted runs resume exactly (SURVEY.md §5
+    checkpoint/resume plan — the reference has no persistence at all)."""
+    from lap_time_optimization_tpu.utils import checkpoint as ckpt
+
     key = jax.random.PRNGKey(seed)
     d = track.n_decongested
     dtype = track.left.dtype
@@ -147,10 +153,21 @@ def bayesian(
     x_data = x_data.at[:n_init].set(x_init)
     y_data = y_data.at[:n_init].set(_batch_lap_times(track, vehicle, x_init))
     count = n_init
-
+    start_round = 1
     sigma_hist: list[float] = []
-    rounds = 0
-    for rounds in range(1, max_rounds + 1):
+
+    if checkpoint_path and ckpt.exists(checkpoint_path):
+        state = ckpt.load(checkpoint_path)
+        if state["x"].shape == (cap, d):
+            x_data = jnp.asarray(state["x"], dtype)
+            y_data = jnp.asarray(state["y"], dtype)
+            count = int(state["count"])
+            start_round = int(state["round"]) + 1
+            sigma_hist = list(np.asarray(state["sigma_hist"], dtype=np.float64))
+            key = jnp.asarray(state["key"], jnp.uint32)
+
+    rounds = start_round - 1
+    for rounds in range(start_round, max_rounds + 1):
         key, kf, kp = jax.random.split(key, 3)
         mask = jnp.arange(cap) < count
         model = gp_ops.fit(x_data, jnp.where(mask, y_data, 0.0), kf, mask=mask)
@@ -163,6 +180,16 @@ def bayesian(
         x_data = x_data.at[count].set(w_star)
         y_data = y_data.at[count].set(times[j])
         count += 1
+        if checkpoint_path:
+            ckpt.save(
+                checkpoint_path,
+                x=np.asarray(x_data),
+                y=np.asarray(y_data),
+                count=count,
+                round=rounds,
+                sigma_hist=np.asarray(sigma_hist),
+                key=np.asarray(key),
+            )
         if count > min_samples and len(sigma_hist) >= sigma_window:
             if float(np.std(sigma_hist[-sigma_window:])) < sigma_tol:
                 break

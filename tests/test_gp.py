@@ -112,3 +112,20 @@ class TestPaddedFit:
         m2, s2 = gp_ops.predict(padded, jnp.asarray(xq))
         np.testing.assert_allclose(np.asarray(m2), np.asarray(m1), atol=1e-8)
         np.testing.assert_allclose(np.asarray(s2), np.asarray(s1), atol=1e-7)
+
+
+class TestCheckpointResume:
+    def test_bayesian_resume(self, buckmore, tbr18, tmp_path):
+        from lap_time_optimization_tpu.optim import global_search
+
+        ck = str(tmp_path / "bo.npz")
+        kw = dict(seed=0, n_init=4, n_local=8, n_uniform=8, min_samples=3,
+                  sigma_window=3, checkpoint_path=ck)
+        # run 3 rounds, then resume for 2 more; the resumed run must continue
+        # from the saved dataset (more samples than a fresh 2-round run)
+        _, _, info1 = global_search.bayesian(buckmore, tbr18, max_rounds=3, **kw)
+        import os
+        assert os.path.isfile(ck)
+        _, best2, info2 = global_search.bayesian(buckmore, tbr18, max_rounds=5, **kw)
+        assert info2["n_samples"] >= info1["n_samples"]
+        assert best2 < 60.0
