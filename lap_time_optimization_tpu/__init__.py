@@ -20,12 +20,11 @@ import os as _os
 
 import jax as _jax
 
-# Persistent XLA compilation cache: TPU compiles (especially over remote
-# tunnels) dominate cold-start wall time; cache them across processes.
+# Persistent XLA compilation cache, opt-in via LTO_JAX_CACHE=<dir>.
+# (Opt-in, not default: remote-compile TPU backends have been observed to
+# stall for minutes when combined with the persistent cache.)
 try:  # pragma: no cover - depends on jax build
-    _cache_dir = _os.environ.get(
-        "LTO_JAX_CACHE", _os.path.expanduser("~/.cache/lto_jax_cache")
-    )
+    _cache_dir = _os.environ.get("LTO_JAX_CACHE")
     if _cache_dir and _cache_dir.lower() != "off":
         _jax.config.update("jax_compilation_cache_dir", _cache_dir)
         _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

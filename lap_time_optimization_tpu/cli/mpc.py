@@ -76,7 +76,7 @@ def main(argv=None):
 
     dtype = track.s_grid.dtype
     p = OCPParams.reference(dtype)
-    cfg = SolverConfig(horizon=args.horizon, dt=args.dt)
+    cfg = SolverConfig.for_horizon(args.horizon, dt=args.dt)
     x0 = jnp.asarray(runner.X0_REFERENCE, dtype)
 
     print(f"[ Running {args.steps} steps, horizon {cfg.horizon}, dt {cfg.dt} ]")

@@ -102,21 +102,50 @@ def nonlinear(track: Track, vehicle, seed: int = 0, n_random: int = 1024, n_refi
 
 
 # --------------------------------------------------------------------- bayesian
+def _smooth_chol(d: int, dtype, corr_len: float = 2.0) -> jax.Array:
+    """Cholesky of an RBF covariance over (cyclic) control indices: racing
+    lines are spatially smooth, so correlated perturbations explore the
+    useful subspace far more efficiently than white noise."""
+    idx = jnp.arange(d)
+    dist = jnp.abs(idx[:, None] - idx[None, :]).astype(dtype)
+    dist = jnp.minimum(dist, d - dist)  # cyclic
+    K = jnp.exp(-0.5 * (dist / corr_len) ** 2) + 1e-6 * jnp.eye(d, dtype=dtype)
+    return jnp.linalg.cholesky(K)
+
+
 @partial(jax.jit, static_argnames=("n_local", "n_uniform"))
 def _propose_and_eval(track: Track, vehicle, key: jax.Array, incumbent: jax.Array,
                       n_local: int, n_uniform: int):
-    """One acquisition round: perturb the incumbent at three scales plus
-    uniform exploration; return candidates and their true lap times."""
+    """One acquisition round: smooth correlated perturbations of the
+    incumbent at three scales plus uniform exploration; return candidates and
+    their true lap times."""
     d = incumbent.shape[0]
     dtype = incumbent.dtype
-    k1, k2 = jax.random.split(key)
+    k1, k2, k3 = jax.random.split(key, 3)
+    chol = _smooth_chol(d, dtype)
     scales = jnp.asarray([0.02, 0.08, 0.25], dtype)
-    noise = jax.random.normal(k1, (3, n_local, d), dtype) * scales[:, None, None]
-    local = jnp.clip(incumbent[None, None, :] + noise, ALPHA_LO, ALPHA_HI).reshape(-1, d)
+    raw = jax.random.normal(k1, (3, n_local, d), dtype)
+    smooth = raw @ chol.T
+    noise = smooth * scales[:, None, None]
+    # half the local budget uses white noise (fine-grained moves), half smooth
+    white = jax.random.normal(k3, (3, n_local, d), dtype) * scales[:, None, None]
+    mix = jnp.where(jnp.arange(n_local)[None, :, None] % 2 == 0, noise, white)
+    local = jnp.clip(incumbent[None, None, :] + mix, ALPHA_LO, ALPHA_HI).reshape(-1, d)
     uni = jax.random.uniform(k2, (n_uniform, d), dtype, ALPHA_LO, ALPHA_HI)
     cands = jnp.concatenate([local, uni], axis=0)
     times = _batch_lap_times(track, vehicle, cands)
     return cands, times
+
+
+@partial(jax.jit, static_argnames=("max_iter",))
+def _polish(track: Track, vehicle, x0: jax.Array, max_iter: int = 60):
+    """Short gradient refinement of the incumbent (lap time is differentiable
+    here, unlike in the reference's COBYLA-only loop)."""
+    res = optimize.minimize_bounded(
+        lambda a: decongested_lap_time(track, vehicle, a), x0,
+        lo=ALPHA_LO, hi=ALPHA_HI, max_iter=max_iter,
+    )
+    return res.x, res.fun
 
 
 def bayesian(
@@ -131,6 +160,8 @@ def bayesian(
     sigma_tol: float = 1e-3,
     min_samples: int = 20,
     checkpoint_path: str | None = None,
+    polish_every: int = 5,
+    polish_iters: int = 60,
 ):
     """GP-guided global search with true-objective acquisition (vs tbn.py:120-205).
 
@@ -175,6 +206,11 @@ def bayesian(
         cands, times = _propose_and_eval(track, vehicle, kp, incumbent, n_local, n_uniform)
         j = jnp.argmin(times)
         w_star = cands[j]
+        if polish_every and rounds % polish_every == 0:
+            x_pol, f_pol = _polish(track, vehicle, incumbent, max_iter=polish_iters)
+            better = f_pol < times[j]
+            w_star = jnp.where(better, x_pol, w_star)
+            times = times.at[j].set(jnp.minimum(times[j], f_pol))
         _, sig = gp_ops.predict(model, w_star[None, :])
         sigma_hist.append(float(sig[0]))
         x_data = x_data.at[count].set(w_star)

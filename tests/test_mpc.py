@@ -194,3 +194,25 @@ class TestClosedLoop:
             ref = json.load(open(ref_path))
             assert set(data.keys()) == set(ref.keys())
             assert np.asarray(ref["x"]).shape == (26, NX, 1)
+
+
+class TestHorizon20:
+    def test_applied_trajectory_feasible(self, model):
+        """The N=20 horizon class (BASELINE.md) with the horizon-scaled
+        preset: applied closed-loop states must respect the constraints even
+        though the prediction tail may carry transient slack."""
+        import jax
+
+        p = OCPParams.reference(jnp.float64)
+        cfg = solver_mod.SolverConfig.for_horizon(20)
+        assert cfg.ilqr_iters >= 8  # scaled up vs the h10 default
+        x0 = jnp.asarray(runner.X0_REFERENCE)
+        sim = runner.closed_loop(model, p, cfg, x0, 20)
+        xs, us = sim.xs, sim.us
+        g = jax.vmap(
+            lambda x, u: solver_mod.constraints(
+                model, p, jnp.concatenate([x, jnp.zeros(2)]), u
+            )
+        )(xs[1:], us[1:])
+        assert float(jnp.max(g)) < 0.02
+        assert float(xs[-1, 0]) > 10.0
