@@ -160,8 +160,8 @@ def bayesian(
     sigma_tol: float = 1e-3,
     min_samples: int = 20,
     checkpoint_path: str | None = None,
-    polish_every: int = 5,
-    polish_iters: int = 60,
+    polish_every: int = 3,
+    polish_iters: int = 100,
 ):
     """GP-guided global search with true-objective acquisition (vs tbn.py:120-205).
 
