@@ -128,19 +128,15 @@ def _run_inner(args) -> dict:
         raise ValueError(f"unknown method {args.method}")
 
     print("[ Computing lap time ]")
+    from lap_time_optimization_tpu.ops import spline as spline_ops
+
     if decongested:
         lap_time, length, v, s = global_search.evaluate_decongested_jit(track, vehicle, alphas)
-        sp = jnp and None  # spline rebuilt below for sampling positions
-        from lap_time_optimization_tpu.ops import spline as spline_ops
-
         controls = track.control_points_decongested(alphas)
-        sp = spline_ops.fit(controls, track.closed)
     else:
         lap_time, length, v, s = racing_line.evaluate_jit(track, vehicle, alphas)
-        from lap_time_optimization_tpu.ops import spline as spline_ops
-
         controls = track.control_points(alphas)
-        sp = spline_ops.fit(controls, track.closed)
+    sp = spline_ops.fit(controls, track.closed)
     run_time = time.time() - t0
 
     lap_time = float(lap_time)

@@ -123,12 +123,12 @@ class BicycleModel:
         """Track-limit constraints ≤ 0 incl. car footprint
         (src/mpc/model.py:70-84; sign(mu)*mu ≡ |mu|)."""
         veh = self.vehicle
-        length = veh.length_f + veh.length_r
-        width = veh.width
-        half_diag = length * 0.5 * jnp.sin(jnp.abs(mu)) + width * 0.5 * jnp.cos(mu)
-        left = n - length * 0.5 * jnp.sin(jnp.abs(mu)) + width * 0.5 * jnp.cos(mu) - self.track.dist_left(s)
-        right = -n + length * 0.5 * jnp.sin(jnp.abs(mu)) + width * 0.5 * jnp.cos(mu) - self.track.dist_right(s)
-        del half_diag
+        half_len = 0.5 * (veh.length_f + veh.length_r)
+        half_wid = 0.5 * veh.width
+        lon = half_len * jnp.sin(jnp.abs(mu))
+        lat = half_wid * jnp.cos(mu)
+        left = n - lon + lat - self.track.dist_left(s)
+        right = -n + lon + lat - self.track.dist_right(s)
         return left, right
 
     def traction_ellipse(self, throttle, vx, vy, r, delta, rho=1.0, alpha=1.0):

@@ -52,20 +52,32 @@ class MPCTrack:
     def _wrap(self, s):
         return jnp.mod(s, self.s_max) if self.closed else s
 
+    def _uinterp(self, s, vals):
+        """Piecewise-linear lookup on the UNIFORM arc grid: direct index
+        arithmetic (one gather) instead of jnp.interp's binary search — these
+        lookups sit inside every dynamics/constraint evaluation of the NMPC
+        hot loop."""
+        n = self.s_grid.shape[0]
+        inv_ds = (n - 1) / self.s_max
+        t = jnp.clip(self._wrap(s) * inv_ds, 0.0, n - 1 - 1e-6)
+        i = jnp.floor(t).astype(jnp.int32)
+        frac = t - i
+        return vals[i] * (1.0 - frac) + vals[i + 1] * frac
+
     def curvature(self, s):
         """k(s), the symbolic-lookup replacement (src/mpc/track.py:26-37,
         src/mpc/model.py:66-67)."""
-        return jnp.interp(self._wrap(s), self.s_grid, self.k_vals)
+        return self._uinterp(s, self.k_vals)
 
     def dist_left(self, s):
-        return jnp.interp(self._wrap(s), self.s_grid, self.nl_vals)
+        return self._uinterp(s, self.nl_vals)
 
     def dist_right(self, s):
-        return jnp.interp(self._wrap(s), self.s_grid, self.nr_vals)
+        return self._uinterp(s, self.nr_vals)
 
     def v_ref(self, s):
         """vref(s) (reference `velocities_interp`, src/mpc/track.py:39-42)."""
-        return jnp.interp(self._wrap(s), self.s_grid, self.vref_vals)
+        return self._uinterp(s, self.vref_vals)
 
     def position(self, s):
         """Cartesian point + unit tangent at arc length s (host/replay use)."""
