@@ -47,8 +47,16 @@ def build_parser():
 
 def load_stack(args):
     """Build (track tables, vehicle, model) from the artifact set."""
+    from lap_time_optimization_tpu.models.vehicle import PacejkaVehicle
+
     base = args.data_dir or io.default_data_dir()
     vehicle = load_vehicle(args.vehicle)
+    if not isinstance(vehicle, PacejkaVehicle):
+        raise ValueError(
+            f"NMPC requires a Pacejka-parameterized vehicle (MX5-style JSON); "
+            f"'{vehicle.name}' is a point-mass vehicle. The racing-line stage "
+            f"supports both families; the bicycle dynamics need tire data."
+        )
     method = args.method
     d = io.artifact_dir(base, vehicle.name, args.track, method)
     if not os.path.isdir(d) and method == "laptime":

@@ -62,8 +62,9 @@ def plot_replay(dest: str, track: MPCTrack, sim_results_path: str, quiver_every:
 
 
 def plot_internal(dest: str, track: MPCTrack, sim_results_path: str, dt: float = 0.1):
-    """Internal-parameter plots: k(s), slip angles, lateral forces, yaw rate
-    (capability parity with reference src/show_results.py:20-46)."""
+    """Internal-parameter plots: the full state/control/tire picture —
+    capability parity with the reference's 9-subplot results graphics
+    (src/mpc/simulator.py:22-57) plus src/show_results.py:20-46."""
     import matplotlib
 
     matplotlib.use("Agg")
@@ -72,26 +73,36 @@ def plot_internal(dest: str, track: MPCTrack, sim_results_path: str, dt: float =
     with open(sim_results_path) as f:
         data = json.load(f)
     states = np.asarray(data["x"])[:, :, 0]
+    controls = np.asarray(data["u"])[:, :, 0]
     alphas = np.asarray(data["alpha"])
     fys = np.asarray(data["Fy"])
     t = np.arange(len(states)) * dt
     k = np.asarray(track.curvature(jnp.asarray(states[:, 0])))
+    vref = np.asarray(track.v_ref(jnp.asarray(states[:, 0])))
 
-    fig, axs = plt.subplots(2, 2, figsize=(14, 8))
-    axs[0, 0].plot(t, k)
-    axs[0, 0].set_title("curvature k(s(t))")
-    axs[0, 1].plot(t, alphas[:, 0], label="front")
-    axs[0, 1].plot(t, alphas[:, 1], label="rear")
-    axs[0, 1].set_title("slip angles")
-    axs[0, 1].legend()
-    axs[1, 0].plot(t, fys[:, 0], label="front")
-    axs[1, 0].plot(t, fys[:, 1], label="rear")
-    axs[1, 0].set_title("lateral forces")
-    axs[1, 0].legend()
-    axs[1, 1].plot(t, states[:, 5])
-    axs[1, 1].set_title("yaw rate r")
-    for ax in axs.flat:
+    fig, axs = plt.subplots(3, 3, figsize=(16, 10))
+    panels = [
+        ("track position s [m]", [(states[:, 0], "s")]),
+        ("lateral deviation n [m]", [(states[:, 1], "n")]),
+        ("heading error mu [rad]", [(states[:, 2], "mu")]),
+        ("velocities [m/s]", [(states[:, 3], "vx"), (states[:, 4], "vy"), (0.6 * vref, "0.6 vref")]),
+        ("yaw rate r [rad/s]", [(states[:, 5], "r")]),
+        ("steering / throttle", [(states[:, 6], "steering"), (states[:, 7], "throttle")]),
+        ("inputs", [(controls[:, 0], "d steering"), (controls[:, 1], "d throttle")]),
+        ("slip angles [rad]", [(alphas[:, 0], "front"), (alphas[:, 1], "rear")]),
+        ("lateral forces [N]", [(fys[:, 0], "front"), (fys[:, 1], "rear")]),
+    ]
+    for ax, (title, series) in zip(axs.flat, panels):
+        for y, label in series:
+            ax.plot(t, y, label=label)
+        ax.set_title(title)
         ax.set_xlabel("t [s]")
+        if len(series) > 1:
+            ax.legend(fontsize=8)
+    # curvature overlay on the s panel's twin axis
+    ax2 = axs.flat[0].twinx()
+    ax2.plot(t, k, color="tab:gray", alpha=0.5)
+    ax2.set_ylabel("k(s)", color="tab:gray")
     fig.tight_layout()
     fig.savefig(dest, bbox_inches="tight", dpi=200)
     plt.close(fig)
