@@ -87,3 +87,49 @@ class TestScalingHarness:
         distributed.initialize()  # must no-op without a cluster
         mesh = distributed.global_mesh(sp=2)
         assert mesh.axis_names == ("dp", "sp")
+
+
+class TestSequenceParallelVelocity:
+    """SURVEY §5 sequence-parallel deliverable: sample axis sharded over the
+    mesh with ppermute halo + all_gather block-scan, exact vs sequential."""
+
+    @pytest.fixture(scope="class")
+    def sp_mesh(self, eight_devices):
+        from jax.sharding import Mesh
+
+        return Mesh(np.asarray(jax.devices()[:8]).reshape(8), ("sp",))
+
+    @pytest.fixture(scope="class")
+    def samples(self, buckmore):
+        from lap_time_optimization_tpu.ops import spline
+
+        sp = buckmore.mid_spline()
+        s = jnp.asarray(np.linspace(0.0, float(sp.length), buckmore.ns)[:-1])
+        k = spline.curvature(sp, s, signed=False)
+        return s, k, float(sp.length)
+
+    @pytest.mark.parametrize("veh_name", ["tbr18", "mx5"])
+    def test_closed_exact(self, veh_name, sp_mesh, samples, request):
+        from lap_time_optimization_tpu.ops import velocity
+        from lap_time_optimization_tpu.parallel import sp_velocity
+
+        veh = request.getfixturevalue(veh_name)
+        s, k, smax = samples
+        ref = np.asarray(velocity.solve_profile(veh, s, k, smax, closed=True))
+        got = np.asarray(
+            sp_velocity.solve_profile_sp(veh, s, k, smax, sp_mesh, closed=True, sweeps=24)
+        )
+        np.testing.assert_allclose(got, ref, rtol=1e-9)
+
+    def test_open_exact(self, sp_mesh, samples, tbr18):
+        from lap_time_optimization_tpu.ops import velocity
+        from lap_time_optimization_tpu.parallel import sp_velocity
+
+        s, k, smax = samples
+        ref = np.asarray(velocity.solve_profile(tbr18, s[:400], k[:400], None, closed=False))
+        got = np.asarray(
+            sp_velocity.solve_profile_sp(
+                tbr18, s[:400], k[:400], smax, sp_mesh, closed=False, sweeps=24
+            )
+        )
+        np.testing.assert_allclose(got, ref, rtol=1e-9)
