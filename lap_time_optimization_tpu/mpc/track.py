@@ -140,16 +140,13 @@ def build(path_pts, left_pts, right_pts, velocities, n_samples: int) -> MPCTrack
     _, left_xy, _, _, _ = _resample_closed(np.asarray(left_pts), n_samples)
     _, right_xy, _, _, _ = _resample_closed(np.asarray(right_pts), n_samples)
 
-    # nearest-boundary-sample distance at every path sample
-    def nearest_dist(b_xy):
-        d2 = (
-            (path_xy[0][:, None] - b_xy[0][None, :]) ** 2
-            + (path_xy[1][:, None] - b_xy[1][None, :]) ** 2
-        )
-        return jnp.sqrt(jnp.min(d2, axis=1))
+    # nearest-boundary-sample distance at every path sample (host-side setup;
+    # native C++ kernel with numpy fallback, utils/native.py)
+    from lap_time_optimization_tpu.utils import native
 
-    nl = nearest_dist(left_xy)
-    nr = nearest_dist(right_xy)
+    path_np = np.asarray(path_xy, dtype=np.float64)
+    nl = jnp.asarray(native.nearest_distances(path_np, np.asarray(left_xy, dtype=np.float64)), path_xy.dtype)
+    nr = jnp.asarray(native.nearest_distances(path_np, np.asarray(right_xy, dtype=np.float64)), path_xy.dtype)
 
     # vref(s): the velocities artifact is sampled per metre along the racing
     # line (ns-1 entries over [0, s_max)); resample onto the arc grid

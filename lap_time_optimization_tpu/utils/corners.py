@@ -52,14 +52,18 @@ def _drop_short_corners(is_corner: np.ndarray, dists: np.ndarray, length: float)
 
 
 def filter_corners(is_corner: np.ndarray, dists: np.ndarray, length: float, proximity: float) -> np.ndarray:
-    """Morphological cleanup with the roll-shift trick (src/utils.py:41-67)."""
+    """Morphological cleanup with the roll-shift trick (src/utils.py:41-67).
+
+    The sequential in-place passes run in the native C++ kernel when built
+    (utils/native.py), with the numpy implementation below as fallback."""
+    from lap_time_optimization_tpu.utils import native
+
     is_corner = np.asarray(is_corner, dtype=bool)
     if is_corner.all() or (~is_corner).all():
         return is_corner
     shift = int(np.argmax(is_corner != is_corner[0]))
     rolled = np.roll(is_corner, -shift)
-    rolled = _merge_short_straights(rolled, dists, proximity)
-    rolled = _drop_short_corners(rolled, dists, length)
+    rolled = native.filter_corners_shifted(rolled, np.asarray(dists, dtype=np.float64), length, proximity)
     return np.roll(rolled, shift)
 
 
