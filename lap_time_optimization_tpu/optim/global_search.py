@@ -66,11 +66,8 @@ def _batch_lap_times(track: Track, vehicle, alphas_batch: jax.Array) -> jax.Arra
 
 
 # -------------------------------------------------------------------- nonlinear
-@partial(jax.jit, static_argnames=("n_random", "n_refine", "max_iter"))
-def _nonlinear_core(track: Track, vehicle, key: jax.Array, n_random: int, n_refine: int, max_iter: int):
-    d = track.n_decongested
-    dtype = track.left.dtype
-    cands = jax.random.uniform(key, (n_random, d), dtype, ALPHA_LO, ALPHA_HI)
+@partial(jax.jit, static_argnames=("n_refine", "max_iter"))
+def _nonlinear_core(track: Track, vehicle, cands: jax.Array, n_refine: int, max_iter: int):
     times = _batch_lap_times(track, vehicle, cands)
     order = jnp.argsort(times)
     seeds = cands[order[:n_refine]]
@@ -94,10 +91,33 @@ def _nonlinear_core(track: Track, vehicle, key: jax.Array, n_random: int, n_refi
     return best_x, best_f
 
 
-def nonlinear(track: Track, vehicle, seed: int = 0, n_random: int = 1024, n_refine: int = 10, max_iter: int = 100):
-    """Batched random search + vmapped gradient refinement (vs tbn.py:230-269)."""
+def nonlinear(
+    track: Track,
+    vehicle,
+    seed: int = 0,
+    n_random: int = 1024,
+    n_refine: int = 10,
+    max_iter: int = 100,
+    mesh=None,
+):
+    """Batched random search + vmapped gradient refinement (vs tbn.py:230-269).
+
+    With `mesh`, the candidate batch (and the refinement fan-out) shards over
+    the mesh's 'dp' axis — the multi-chip replacement for the reference's
+    degenerate `Pool(processes=1)` (tbn.py:256).  Results are identical to the
+    unsharded run (same candidates, same reductions; tested)."""
     key = jax.random.PRNGKey(seed)
-    best_x, best_f = _nonlinear_core(track, vehicle, key, n_random, n_refine, max_iter)
+    d = track.n_decongested
+    dtype = track.left.dtype
+    cands = jax.random.uniform(key, (n_random, d), dtype, ALPHA_LO, ALPHA_HI)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        cands = jax.device_put(cands, NamedSharding(mesh, P("dp", None)))
+        with jax.set_mesh(mesh):
+            best_x, best_f = _nonlinear_core(track, vehicle, cands, n_refine, max_iter)
+    else:
+        best_x, best_f = _nonlinear_core(track, vehicle, cands, n_refine, max_iter)
     return best_x, float(best_f)
 
 

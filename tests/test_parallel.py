@@ -133,3 +133,15 @@ class TestSequenceParallelVelocity:
             )
         )
         np.testing.assert_allclose(got, ref, rtol=1e-9)
+
+
+class TestShardedNonlinear:
+    def test_matches_unsharded(self, eight_devices, buckmore, tbr18):
+        from lap_time_optimization_tpu.optim import global_search
+
+        kw = dict(seed=0, n_random=64, n_refine=8, max_iter=30)
+        x1, f1 = global_search.nonlinear(buckmore, tbr18, **kw)
+        mesh = pmesh.make_mesh(8, sp=1)
+        x2, f2 = global_search.nonlinear(buckmore, tbr18, mesh=mesh, **kw)
+        np.testing.assert_allclose(f2, f1, rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(x2), np.asarray(x1), atol=1e-6)
