@@ -17,7 +17,6 @@ objective be differentiated instead of finite-differenced.
 from __future__ import annotations
 
 import dataclasses
-import json
 
 import jax
 import jax.numpy as jnp

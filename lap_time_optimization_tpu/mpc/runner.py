@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from lap_time_optimization_tpu.models.bicycle import NU, NX, BicycleModel
+from lap_time_optimization_tpu.models.bicycle import NU, BicycleModel
 from lap_time_optimization_tpu.mpc import solver as solver_mod
 from lap_time_optimization_tpu.mpc.solver import N_CON, OCPParams, SolverConfig
 

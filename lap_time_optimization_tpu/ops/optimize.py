@@ -99,26 +99,3 @@ def minimize_bounded(
     res = minimize_lbfgs(fun_theta, to_theta(x0), max_iter=max_iter, tol=tol, memory_size=memory_size)
     x = to_params(res.x)
     return MinimizeResult(x=x, fun=res.fun, n_iter=res.n_iter, grad_norm=res.grad_norm)
-
-
-def golden_section(fun: Callable[[jax.Array], jax.Array], lo: float, hi: float, n_iter: int = 12):
-    """Scalar golden-section search on [lo, hi] (bounded-Brent stand-in for
-    the epsilon search at reference src/trajectory.py:118-122).
-
-    Evaluates both interior points each iteration; prefer the vmapped grid
-    sweep in `optim.racing_line` when `fun` itself is batched cheaply.
-    """
-    phi = (jnp.sqrt(5.0) - 1.0) / 2.0
-    a = jnp.asarray(lo, jnp.result_type(float))
-    b = jnp.asarray(hi, a.dtype)
-
-    def body(_, bracket):
-        a, b = bracket
-        c = b - phi * (b - a)
-        d = a + phi * (b - a)
-        shrink_right = fun(c) < fun(d)
-        return jnp.where(shrink_right, a, c), jnp.where(shrink_right, d, b)
-
-    a, b = jax.lax.fori_loop(0, n_iter, body, (a, b))
-    x = 0.5 * (a + b)
-    return x, fun(x)

@@ -16,7 +16,6 @@ import time
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from lap_time_optimization_tpu.parallel import mesh as pmesh
 

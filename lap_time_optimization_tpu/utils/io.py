@@ -32,33 +32,40 @@ _DATA_DIR_CANDIDATES = (
 )
 
 
+def data_dir_candidates() -> list[str]:
+    return [c for c in _DATA_DIR_CANDIDATES if c and os.path.isdir(c)]
+
+
 def default_data_dir() -> str:
-    for cand in _DATA_DIR_CANDIDATES:
-        if cand and os.path.isdir(cand):
-            return cand
+    cands = data_dir_candidates()
+    if cands:
+        return cands[0]
     raise FileNotFoundError(
         "No data directory found; set LTO_DATA_DIR or create ./data "
         "(expected subdirs tracks/ and vehicles/)"
     )
 
 
-def resolve_track(name_or_path: str) -> str:
-    """Accept either a JSON path or a bare track name like 'buckmore'."""
+def _resolve(kind: str, name_or_path: str) -> str:
+    """Accept a JSON path or a bare name; search EVERY data root (a local
+    ./data holding only generated artifacts must not shadow the root that
+    ships the tracks/vehicles)."""
     if os.path.isfile(name_or_path):
         return name_or_path
-    cand = os.path.join(default_data_dir(), "tracks", f"{name_or_path}.json")
-    if os.path.isfile(cand):
-        return cand
-    raise FileNotFoundError(f"track not found: {name_or_path}")
+    for root in data_dir_candidates():
+        cand = os.path.join(root, kind, f"{name_or_path}.json")
+        if os.path.isfile(cand):
+            return cand
+    raise FileNotFoundError(f"{kind[:-1]} not found: {name_or_path}")
+
+
+def resolve_track(name_or_path: str) -> str:
+    """Accept either a JSON path or a bare track name like 'buckmore'."""
+    return _resolve("tracks", name_or_path)
 
 
 def resolve_vehicle(name_or_path: str) -> str:
-    if os.path.isfile(name_or_path):
-        return name_or_path
-    cand = os.path.join(default_data_dir(), "vehicles", f"{name_or_path}.json")
-    if os.path.isfile(cand):
-        return cand
-    raise FileNotFoundError(f"vehicle not found: {name_or_path}")
+    return _resolve("vehicles", name_or_path)
 
 
 def strip_json_comments(text: str) -> str:
