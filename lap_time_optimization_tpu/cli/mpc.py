@@ -42,6 +42,9 @@ def build_parser():
     p.add_argument("--data-dir", type=str, default=None, help="artifact base dir (default: auto-discover)")
     p.add_argument("--output", type=str, default="sim_results.json")
     p.add_argument("--plot", action="store_true", help="write replay + internals plots")
+    p.add_argument("--vref-scale", type=float, default=0.6,
+                   help="fraction of the racing-line velocity profile to track "
+                        "(the reference hardcodes 0.6, src/mpc/controller.py:53)")
     return p
 
 
@@ -57,18 +60,27 @@ def load_stack(args):
             f"'{vehicle.name}' is a point-mass vehicle. The racing-line stage "
             f"supports both families; the bicycle dynamics need tire data."
         )
-    method = args.method
-    d = io.artifact_dir(base, vehicle.name, args.track, method)
-    if not os.path.isdir(d) and method == "laptime":
-        # reference quirk fallback: --laptime artifacts historically live in
-        # the compromise dir (src/mpc.py:55-57)
-        method = "compromise"
-        d = io.artifact_dir(base, vehicle.name, args.track, method)
-    if not os.path.isdir(d):
+    # search every data root for the artifact set (an explicit --data-dir
+    # wins; otherwise a local ./data holding other methods' artifacts must
+    # not shadow roots that have the requested one)
+    roots = [base] if args.data_dir else io.data_dir_candidates()
+    method, found = args.method, None
+    for m in ([args.method, "compromise"] if args.method == "laptime" else [args.method]):
+        # laptime falls back to the compromise dir (reference quirk,
+        # src/mpc.py:55-57) only when no real laptime artifacts exist anywhere
+        for root in roots:
+            d = io.artifact_dir(root, vehicle.name, args.track, m)
+            if os.path.isdir(d):
+                method, found = m, root
+                break
+        if found:
+            break
+    if not found:
         raise FileNotFoundError(
-            f"no racing-line artifacts at {d}; run the racing-line CLI first"
+            f"no racing-line artifacts for {vehicle.name}/{args.track}/"
+            f"{args.method} under {roots}; run the racing-line CLI first"
         )
-    track = mpc_track.load(vehicle.name, args.track, method, base_dir=base)
+    track = mpc_track.load(vehicle.name, args.track, method, base_dir=found)
     model = BicycleModel(vehicle=vehicle, track=track)
     return track, vehicle, model
 
@@ -82,8 +94,12 @@ def main(argv=None):
 
     import jax.numpy as jnp
 
+    import dataclasses
+
     dtype = track.s_grid.dtype
     p = OCPParams.reference(dtype)
+    if args.vref_scale != 0.6:
+        p = dataclasses.replace(p, vref_scale=jnp.asarray(args.vref_scale, dtype))
     cfg = SolverConfig.for_horizon(args.horizon, dt=args.dt)
     x0 = jnp.asarray(runner.X0_REFERENCE, dtype)
 
