@@ -52,7 +52,6 @@ def load_stack(args):
     """Build (track tables, vehicle, model) from the artifact set."""
     from lap_time_optimization_tpu.models.vehicle import PacejkaVehicle
 
-    base = args.data_dir or io.default_data_dir()
     vehicle = load_vehicle(args.vehicle)
     if not isinstance(vehicle, PacejkaVehicle):
         raise ValueError(
@@ -60,26 +59,10 @@ def load_stack(args):
             f"'{vehicle.name}' is a point-mass vehicle. The racing-line stage "
             f"supports both families; the bicycle dynamics need tire data."
         )
-    # search every data root for the artifact set (an explicit --data-dir
-    # wins; otherwise a local ./data holding other methods' artifacts must
-    # not shadow roots that have the requested one)
-    roots = [base] if args.data_dir else io.data_dir_candidates()
-    method, found = args.method, None
-    for m in ([args.method, "compromise"] if args.method == "laptime" else [args.method]):
-        # laptime falls back to the compromise dir (reference quirk,
-        # src/mpc.py:55-57) only when no real laptime artifacts exist anywhere
-        for root in roots:
-            d = io.artifact_dir(root, vehicle.name, args.track, m)
-            if os.path.isdir(d):
-                method, found = m, root
-                break
-        if found:
-            break
-    if not found:
-        raise FileNotFoundError(
-            f"no racing-line artifacts for {vehicle.name}/{args.track}/"
-            f"{args.method} under {roots}; run the racing-line CLI first"
-        )
+    fallbacks = ("compromise",) if args.method == "laptime" else ()
+    found, method = io.find_artifact_dir(
+        vehicle.name, args.track, args.method, base=args.data_dir, method_fallbacks=fallbacks
+    )
     track = mpc_track.load(vehicle.name, args.track, method, base_dir=found)
     model = BicycleModel(vehicle=vehicle, track=track)
     return track, vehicle, model

@@ -29,8 +29,8 @@ def main(argv=None):
     from lap_time_optimization_tpu.utils import io
     from lap_time_optimization_tpu.viz import visualiser
 
-    base = args.data_dir or io.default_data_dir()
-    track = mpc_track.load(args.vehicle, args.track, args.method, base_dir=base)
+    base, method = io.find_artifact_dir(args.vehicle, args.track, args.method, base=args.data_dir)
+    track = mpc_track.load(args.vehicle, args.track, method, base_dir=base)
     visualiser.plot_internal(args.out, track, args.results, dt=args.dt)
     print(f"[ Wrote {args.out} ]")
 

@@ -127,3 +127,25 @@ def load_artifact(path: str):
 def artifact_dir(base: str, vehicle_name: str, track_name: str, method: str) -> str:
     """data/plots/<vehicle>/<track>/<method>/ — reference src/__main__.py:178-184."""
     return os.path.join(base, "plots", vehicle_name, track_name, method)
+
+
+def find_artifact_dir(
+    vehicle_name: str,
+    track_name: str,
+    method: str,
+    base: str | None = None,
+    method_fallbacks: tuple = (),
+):
+    """Locate an artifact set, searching every data root unless `base` is
+    explicit.  Returns (base_dir, method) or raises with the searched roots.
+    `method_fallbacks` are tried (across all roots) after the primary method —
+    e.g. laptime→compromise, the reference quirk at src/mpc.py:55-57."""
+    roots = [base] if base else data_dir_candidates()
+    for m in (method, *method_fallbacks):
+        for root in roots:
+            if os.path.isdir(artifact_dir(root, vehicle_name, track_name, m)):
+                return root, m
+    raise FileNotFoundError(
+        f"no racing-line artifacts for {vehicle_name}/{track_name}/{method} "
+        f"under {roots}; run the racing-line CLI first"
+    )

@@ -97,3 +97,17 @@ class TestMPCCLI:
         assert np.asarray(data["x"]).shape == (6, 8, 1)
         s = np.asarray(res.xs)[:, 0]
         assert s[-1] > s[0]
+
+
+class TestShowResultsCLI:
+    def test_plots_internals(self, tmp_path):
+        if not os.path.isdir("/root/reference/data/plots/MX-5/buckmore/curvature"):
+            pytest.skip("reference artifacts not available")
+        from lap_time_optimization_tpu.cli import mpc as mpc_cli
+        from lap_time_optimization_tpu.cli import show_results
+
+        sim_json = str(tmp_path / "sim.json")
+        mpc_cli.main(["--curvature", "--steps", "3", "--output", sim_json])
+        out_png = str(tmp_path / "internals.png")
+        show_results.main([sim_json, "--method", "curvature", "--out", out_png])
+        assert os.path.isfile(out_png) and os.path.getsize(out_png) > 10_000
