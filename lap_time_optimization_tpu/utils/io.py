@@ -141,6 +141,11 @@ def find_artifact_dir(
     `method_fallbacks` are tried (across all roots) after the primary method —
     e.g. laptime→compromise, the reference quirk at src/mpc.py:55-57."""
     roots = [base] if base else data_dir_candidates()
+    if not roots:
+        raise FileNotFoundError(
+            "No data directory found; set LTO_DATA_DIR or create ./data "
+            "(expected subdirs tracks/, vehicles/ and plots/)"
+        )
     for m in (method, *method_fallbacks):
         for root in roots:
             if os.path.isdir(artifact_dir(root, vehicle_name, track_name, m)):

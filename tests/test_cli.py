@@ -84,10 +84,16 @@ class TestRaceCLI:
             race.main([tiny_track_json, tbr18_path, "0.8"])
 
 
+@pytest.fixture(scope="module")
+def ref_artifacts():
+    d = "/root/reference/data/plots/MX-5/buckmore/curvature"
+    if not os.path.isdir(d):
+        pytest.skip("reference artifacts not available")
+    return d
+
+
 class TestMPCCLI:
-    def test_short_sim(self, tmp_path):
-        if not os.path.isdir("/root/reference/data/plots/MX-5/buckmore/curvature"):
-            pytest.skip("reference artifacts not available")
+    def test_short_sim(self, tmp_path, ref_artifacts):
         from lap_time_optimization_tpu.cli import mpc as mpc_cli
 
         out_json = str(tmp_path / "sim.json")
@@ -100,9 +106,7 @@ class TestMPCCLI:
 
 
 class TestShowResultsCLI:
-    def test_plots_internals(self, tmp_path):
-        if not os.path.isdir("/root/reference/data/plots/MX-5/buckmore/curvature"):
-            pytest.skip("reference artifacts not available")
+    def test_plots_internals(self, tmp_path, ref_artifacts):
         from lap_time_optimization_tpu.cli import mpc as mpc_cli
         from lap_time_optimization_tpu.cli import show_results
 
