@@ -85,14 +85,16 @@ class Config:
 
     @classmethod
     def from_dict(cls, d: dict[str, Any]) -> "Config":
+        mpc = dict(d.get("mpc", {}))
+        for key in ("r_controls", "x0"):  # JSON arrays -> tuples (dataclass defaults)
+            if key in mpc:
+                mpc[key] = tuple(mpc[key])
         return cls(
             corners=CornerConfig(**d.get("corners", {})),
             compromise=CompromiseConfig(**d.get("compromise", {})),
             bayes=BayesConfig(**d.get("bayes", {})),
             nonlinear=NonlinearConfig(**d.get("nonlinear", {})),
-            mpc=MPCConfig(**{**d.get("mpc", {}), **(
-                {"r_controls": tuple(d["mpc"]["r_controls"])} if "r_controls" in d.get("mpc", {}) else {}
-            )}),
+            mpc=MPCConfig(**mpc),
         )
 
     @classmethod
