@@ -97,6 +97,12 @@ class SolverConfig:
     rho_init: float = dataclasses.field(metadata=dict(static=True), default=20.0)
     rho_scale: float = dataclasses.field(metadata=dict(static=True), default=5.0)
     reg_init: float = dataclasses.field(metadata=dict(static=True), default=1e-6)
+    # XLA unroll factors for the short sequential scans.  The solve is
+    # latency-bound (tiny 10×10 matrix ops, ~N sequential steps per pass);
+    # unrolling lets XLA fuse across loop iterations and removes per-step
+    # loop overhead.  1 = plain scan (smallest program, slowest dispatch).
+    unroll_horizon: int = dataclasses.field(metadata=dict(static=True), default=1)
+    unroll_ilqr: int = dataclasses.field(metadata=dict(static=True), default=1)
 
     @classmethod
     def accurate(cls, horizon: int = 10, dt: float = 0.1) -> "SolverConfig":
@@ -209,7 +215,7 @@ def _rollout(model, cfg, z0, us):
         z_next = dynamics_step(model, cfg, z, u)
         return z_next, z_next
 
-    _, zs = jax.lax.scan(f, z0, us)
+    _, zs = jax.lax.scan(f, z0, us, unroll=cfg.unroll_horizon)
     return jnp.concatenate([z0[None], zs], axis=0)
 
 
@@ -284,7 +290,8 @@ def _backward_pass(model, p, cfg, zs, us, lams, rho, reg):
         return (Vz_new, Vzz_new, diverged | bad), (k_k, K_k)
 
     (_, _, diverged), (ks, Ks) = jax.lax.scan(
-        bwd, (Vz, Vzz, jnp.asarray(False)), (A, B, lz, lu, lzz, luu, luz), reverse=True
+        bwd, (Vz, Vzz, jnp.asarray(False)), (A, B, lz, lu, lzz, luu, luz),
+        reverse=True, unroll=cfg.unroll_horizon,
     )
     return ks, Ks, diverged
 
@@ -304,7 +311,9 @@ def _forward_pass(model, p, cfg, zs, us, ks, Ks, lams, rho):
             z_next = dynamics_step(model, cfg, z, u)
             return z_next, (z_next, u)
 
-        _, (zs_new, us_new) = jax.lax.scan(f, zs[0], (zs[:-1], us, ks, Ks))
+        _, (zs_new, us_new) = jax.lax.scan(
+            f, zs[0], (zs[:-1], us, ks, Ks), unroll=cfg.unroll_horizon
+        )
         zs_full = jnp.concatenate([zs[0][None], zs_new], axis=0)
         cost = _total_al_cost(model, p, cfg, zs_full, us_new, lams, rho)
         return cost, zs_full, us_new
@@ -350,7 +359,7 @@ def solve(
 
         (zs, us, cost, _), _ = jax.lax.scan(
             ilqr_iter, (zs, us, cost0, jnp.asarray(cfg.reg_init, dtype)), None,
-            length=cfg.ilqr_iters,
+            length=cfg.ilqr_iters, unroll=cfg.unroll_ilqr,
         )
 
         # multiplier + penalty update
