@@ -13,6 +13,7 @@ derives from the velocities artifact instead of the hardcoded 846
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import json
 import os
 import time
@@ -36,16 +37,40 @@ def build_parser():
     methods.add_argument("--bayes", action="store_const", dest="method", const="bayesian")
     p.add_argument("--vehicle", type=str, default="MX5", help="vehicle name/path (artifact dir uses its name)")
     p.add_argument("--track", type=str, default="buckmore")
-    p.add_argument("--steps", type=int, default=500, help="simulation steps (reference src/mpc.py:125)")
-    p.add_argument("--horizon", type=int, default=10, help="MPC horizon (reference src/mpc/controller.py:9)")
-    p.add_argument("--dt", type=float, default=0.1)
+    p.add_argument("--steps", type=int, default=None, help="simulation steps (reference src/mpc.py:125)")
+    p.add_argument("--horizon", type=int, default=None, help="MPC horizon (reference src/mpc/controller.py:9)")
+    p.add_argument("--dt", type=float, default=None)
+    p.add_argument("--config", type=str, default=None,
+                   help="JSON config overriding the reference-default MPC parameters "
+                        "(horizon, dt, steps, weights, x0); explicit flags win over it")
     p.add_argument("--data-dir", type=str, default=None, help="artifact base dir (default: auto-discover)")
     p.add_argument("--output", type=str, default="sim_results.json")
     p.add_argument("--plot", action="store_true", help="write replay + internals plots")
-    p.add_argument("--vref-scale", type=float, default=0.6,
+    p.add_argument("--vref-scale", type=float, default=None,
                    help="fraction of the racing-line velocity profile to track "
                         "(the reference hardcodes 0.6, src/mpc/controller.py:53)")
+    p.add_argument("--platform", type=str, default=None,
+                   help="force a JAX backend (e.g. cpu, tpu); overrides plugin auto-selection")
+    p.add_argument("--x64", action="store_true",
+                   help="enable float64 (CPU oracle runs; TPU production uses f32)")
     return p
+
+
+def effective_config(args):
+    """Merge the MPC config layer: dataclass defaults < --config file < flags."""
+    from lap_time_optimization_tpu.utils.config import Config
+
+    cfg = Config.load(args.config) if getattr(args, "config", None) else Config()
+    m = cfg.mpc
+    if args.steps is not None:
+        m = dataclasses.replace(m, steps=args.steps)
+    if args.horizon is not None:
+        m = dataclasses.replace(m, horizon=args.horizon)
+    if args.dt is not None:
+        m = dataclasses.replace(m, dt=args.dt)
+    if args.vref_scale is not None:
+        m = dataclasses.replace(m, vref_scale=args.vref_scale)
+    return dataclasses.replace(cfg, mpc=m)
 
 
 def load_stack(args):
@@ -70,6 +95,9 @@ def load_stack(args):
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    from lap_time_optimization_tpu.cli.race import apply_backend_flags
+
+    apply_backend_flags(args)
     print(f"[ Path method: {args.method} ]")
     track, vehicle, model = load_stack(args)
     print(f"[ Loaded artifacts: lap length {float(track.s_max):.1f} m, "
@@ -77,23 +105,28 @@ def main(argv=None):
 
     import jax.numpy as jnp
 
-    import dataclasses
-
+    conf = effective_config(args)
+    mc = conf.mpc
     dtype = track.s_grid.dtype
-    p = OCPParams.reference(dtype)
-    if args.vref_scale != 0.6:
-        p = dataclasses.replace(p, vref_scale=jnp.asarray(args.vref_scale, dtype))
-    cfg = SolverConfig.for_horizon(args.horizon, dt=args.dt)
-    x0 = jnp.asarray(runner.X0_REFERENCE, dtype)
+    a = lambda v: jnp.asarray(v, dtype)
+    p = dataclasses.replace(
+        OCPParams.reference(dtype),
+        q_n=a(mc.q_n), q_mu=a(mc.q_mu), q_B=a(mc.q_B),
+        r_delta=a(mc.r_controls[0]), r_throttle=a(mc.r_controls[1]),
+        vref_scale=a(mc.vref_scale),
+    )
+    cfg = SolverConfig.for_horizon(mc.horizon, dt=mc.dt)
+    x0 = jnp.asarray(mc.x0, dtype)
+    steps = mc.steps
 
-    print(f"[ Running {args.steps} steps, horizon {cfg.horizon}, dt {cfg.dt} ]")
+    print(f"[ Running {steps} steps, horizon {cfg.horizon}, dt {cfg.dt} ]")
     t0 = time.time()
-    result = runner.closed_loop(model, p, cfg, x0, args.steps)
+    result = runner.closed_loop(model, p, cfg, x0, steps)
     result.xs.block_until_ready()
     wall = time.time() - t0
     # steady-state timing: rerun the compiled program
     t0 = time.time()
-    result = runner.closed_loop(model, p, cfg, x0, args.steps)
+    result = runner.closed_loop(model, p, cfg, x0, steps)
     result.xs.block_until_ready()
     steady = time.time() - t0
 
@@ -102,18 +135,21 @@ def main(argv=None):
     viol = np.asarray(result.violations)
     print()
     print("=== NMPC Results =====================================================")
-    print(f"Simulated time     = {args.steps * args.dt:.1f} s")
+    print(f"Simulated time     = {steps * mc.dt:.1f} s")
     print(f"Track progress     = {xs[-1, 0]:.1f} m of {float(track.s_max):.1f} m lap")
     print(f"Mean sdot          = {np.mean(sdot):.3f} m/s")
     print(f"Max |n| deviation  = {np.max(np.abs(xs[:, 1])):.3f} m")
     print(f"Max cons violation = {np.max(viol):.4f}")
     print(f"Wall (first, incl compile) = {wall:.2f} s")
-    print(f"Wall (steady)      = {steady:.2f} s  → {args.steps / steady:.1f} solves/s")
+    print(f"Wall (steady)      = {steady:.2f} s  → {steps / steady:.1f} solves/s")
     print("======================================================================")
     print()
 
     with open(args.output, "w") as f:
         json.dump(runner.to_sim_results(model, result), f)
+    base, _ = os.path.splitext(args.output)
+    with open(base + "_config.json", "w") as f:
+        f.write(conf.to_json())
     print(f"[ Wrote {args.output} ]")
 
     if args.plot:
@@ -121,7 +157,7 @@ def main(argv=None):
 
         base, _ = os.path.splitext(args.output)
         visualiser.plot_replay(base + "_replay.png", track, args.output)
-        visualiser.plot_internal(base + "_internals.png", track, args.output, dt=args.dt)
+        visualiser.plot_internal(base + "_internals.png", track, args.output, dt=mc.dt)
         print(f"[ Wrote {base}_replay.png, {base}_internals.png ]")
 
     return result

@@ -67,16 +67,37 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output-dir", type=str, default="./data",
                    help="base directory for plots + JSON artifacts")
     p.add_argument("--seed", type=int, default=0, help="PRNG seed for bayes/nonlinear")
+    p.add_argument("--config", type=str, default=None,
+                   help="JSON config overriding the reference-default hyperparameters "
+                        "(corner detection, epsilon search, bayes/nonlinear budgets); "
+                        "the effective config is dumped into the artifact dir")
     p.add_argument("--debug-nans", action="store_true",
                    help="enable jax_debug_nans (the on-device sanitizer mode)")
     p.add_argument("--profile-dir", type=str, default=None,
                    help="write a jax.profiler trace (perfetto) to this directory")
+    p.add_argument("--platform", type=str, default=None,
+                   help="force a JAX backend (e.g. cpu, tpu); overrides plugin auto-selection")
+    p.add_argument("--x64", action="store_true",
+                   help="enable float64 (CPU oracle runs; TPU production uses f32)")
     return p
+
+
+def apply_backend_flags(args):
+    """Apply --platform/--x64 before any JAX computation runs. jax.config is
+    used (not env vars) because plugin platforms may already be registered by
+    the time the CLI starts."""
+    import jax
+
+    if getattr(args, "platform", None):
+        jax.config.update("jax_platforms", args.platform)
+    if getattr(args, "x64", False):
+        jax.config.update("jax_enable_x64", True)
 
 
 def run(args) -> dict:
     import jax
 
+    apply_backend_flags(args)
     if getattr(args, "debug_nans", False):
         jax.config.update("jax_debug_nans", True)
     from lap_time_optimization_tpu.utils import profiling
@@ -90,6 +111,9 @@ def run(args) -> dict:
 
 
 def _run_inner(args) -> dict:
+    from lap_time_optimization_tpu.utils.config import Config
+
+    cfg = Config.load(args.config) if getattr(args, "config", None) else Config()
     track = Track.load(args.track, track_width=args.track_width)
     print(f"[ Imported {track.name} ]")
     vehicle = load_vehicle(args.vehicle)
@@ -103,14 +127,22 @@ def _run_inner(args) -> dict:
         alphas = racing_line.minimise_curvature(track).x
     elif args.method == "compromise":
         print("[ Minimising optimal compromise ]")
-        alphas, epsilon, _ = racing_line.minimise_optimal_compromise(track, vehicle)
+        alphas, epsilon, _ = racing_line.minimise_optimal_compromise(
+            track, vehicle,
+            eps_min=cfg.compromise.eps_min, eps_max=cfg.compromise.eps_max,
+            n_grid=cfg.compromise.n_grid, n_refine=cfg.compromise.n_refine,
+        )
         print(f"  epsilon = {epsilon:.4f}")
     elif args.method == "laptime":
         print("[ Minimising lap time ]")
         alphas = racing_line.minimise_lap_time(track, vehicle).x
     elif args.method == "sectors":
         print("[ Optimising sectors ]")
-        alphas, eps_w, _ = racing_line.optimise_sectors(track, vehicle)
+        alphas, eps_w, _ = racing_line.optimise_sectors(
+            track, vehicle,
+            k_min=cfg.corners.k_min, proximity=cfg.corners.proximity,
+            length=cfg.corners.length,
+        )
         for i, e in enumerate(np.asarray(eps_w)):
             print(f"  Sector {i:d}: eps={float(e):.4f}")
     elif args.method == "estimated":
@@ -119,11 +151,21 @@ def _run_inner(args) -> dict:
         print(f"  epsilon = {epsilon:.4f}")
     elif args.method == "bayes":
         print("[ BAYES ]")
-        alphas, _, info = global_search.bayesian(track, vehicle, seed=args.seed)
+        b = cfg.bayes
+        alphas, _, info = global_search.bayesian(
+            track, vehicle, seed=args.seed,
+            n_init=b.n_init, n_local=b.n_local, n_uniform=b.n_uniform,
+            max_rounds=b.max_rounds, sigma_window=b.sigma_window,
+            sigma_tol=b.sigma_tol, min_samples=b.min_samples,
+        )
         print(f"  converged after {info['rounds']} rounds / {info['n_samples']} samples")
     elif args.method == "nonlinear":
         print("[ NONLINEAR ]")
-        alphas, _ = global_search.nonlinear(track, vehicle, seed=args.seed)
+        nl = cfg.nonlinear
+        alphas, _ = global_search.nonlinear(
+            track, vehicle, seed=args.seed,
+            n_random=nl.n_random, n_refine=nl.n_refine, max_iter=nl.max_iter,
+        )
     else:  # pragma: no cover
         raise ValueError(f"unknown method {args.method}")
 
@@ -161,7 +203,8 @@ def _run_inner(args) -> dict:
     if args.plot_corners or args.plot_all:
         from lap_time_optimization_tpu.viz import plot as viz
 
-        _, mask = racing_line.detect_track_corners(track)
+        _, mask = racing_line.detect_track_corners(
+            track, cfg.corners.k_min, cfg.corners.proximity, cfg.corners.length)
         mid = track.mid_spline()
         mid_pos = np.asarray(spline_ops.evaluate(mid, jnp.linspace(0.0, mid.length, track.ns)))
         viz.plot_corners(os.path.join(plot_dir, f"corners.{args.ext}"),
@@ -171,12 +214,15 @@ def _run_inner(args) -> dict:
 
         viz.plot_path(os.path.join(plot_dir, f"path.{args.ext}"),
                       track.old_left, track.old_right, positions, np.asarray(sp.controls))
-        io.save_path_json(plot_dir, positions[0], positions[1], "path")
     if args.plot_trajectory or args.plot_all:
         from lap_time_optimization_tpu.viz import plot as viz
 
         viz.plot_trajectory(os.path.join(plot_dir, f"trajectory.{args.ext}"),
                             track.old_left, track.old_right, positions, v)
+
+    # effective config: reproducibility record for this artifact set
+    with open(os.path.join(plot_dir, "config.json"), "w") as f:
+        f.write(cfg.to_json())
 
     # always save the NMPC-stage inputs (reference src/__main__.py:199-213)
     io.save_path_json(plot_dir, positions[0], positions[1], "path")

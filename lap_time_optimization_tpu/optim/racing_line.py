@@ -29,12 +29,14 @@ import numpy as np
 from lap_time_optimization_tpu.ops import optimize, spline, velocity
 from lap_time_optimization_tpu.track import Track
 from lap_time_optimization_tpu.utils import corners as corner_utils
+from lap_time_optimization_tpu.utils.config import CompromiseConfig, CornerConfig
 
-# Reference defaults (src/__main__.py:109-112, src/trajectory.py:99)
-K_MIN = 0.03
-PROXIMITY = 40.0
-LENGTH = 10.0
-EPS_MIN, EPS_MAX = 0.0, 0.2
+# Defaults sourced from the central config (reference values:
+# src/__main__.py:109-112 for corners, src/trajectory.py:99 for epsilon)
+_CORNERS = CornerConfig()
+_COMPROMISE = CompromiseConfig()
+K_MIN, PROXIMITY, LENGTH = _CORNERS.k_min, _CORNERS.proximity, _CORNERS.length
+EPS_MIN, EPS_MAX = _COMPROMISE.eps_min, _COMPROMISE.eps_max
 
 
 # --------------------------------------------------------------------------- core pipeline

@@ -23,17 +23,28 @@ import re
 
 import numpy as np
 
-#: Candidate data roots, first match wins. The reference checkout's data dir is
-#: the fallback so golden-parity tests run out of the box.
+#: data/ shipped with this repo (tracks + vehicles; L0 of the layer map).
+PACKAGE_DATA_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "data"
+)
+
+#: Candidate data roots, first match wins: explicit override, the working
+#: directory (for artifacts generated in-place), then the data shipped with
+#: the framework. The reference checkout is NOT searched — golden-parity
+#: tests point at it explicitly via their own fixture path.
 _DATA_DIR_CANDIDATES = (
     os.environ.get("LTO_DATA_DIR"),
     os.path.join(os.getcwd(), "data"),
-    "/root/reference/data",
+    PACKAGE_DATA_DIR,
 )
 
 
 def data_dir_candidates() -> list[str]:
-    return [c for c in _DATA_DIR_CANDIDATES if c and os.path.isdir(c)]
+    out = []
+    for c in _DATA_DIR_CANDIDATES:
+        if c and os.path.isdir(c) and c not in out:
+            out.append(c)
+    return out
 
 
 def default_data_dir() -> str:

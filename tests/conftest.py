@@ -27,7 +27,11 @@ jax.config.update("jax_enable_x64", True)
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# Golden-artifact oracle path: the reference checkout's committed plot
+# artifacts + recorded IPOPT trace. Tracks/vehicles themselves ship with THIS
+# repo (data/) — the reference tree is only needed for oracle comparisons.
 REFERENCE_DATA = os.environ.get("LTO_REF_DATA", "/root/reference/data")
+REPO_DATA = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "data")
 
 
 def _require_ref_data():
@@ -37,10 +41,9 @@ def _require_ref_data():
 
 @pytest.fixture(scope="session")
 def buckmore():
-    _require_ref_data()
     from lap_time_optimization_tpu.track import Track
 
-    return Track.load(os.path.join(REFERENCE_DATA, "tracks", "buckmore.json"), track_width=0.8)
+    return Track.load(os.path.join(REPO_DATA, "tracks", "buckmore.json"), track_width=0.8)
 
 
 @pytest.fixture(scope="session")
@@ -48,26 +51,23 @@ def buckmore99():
     """Width 0.99 — the configuration the reference README tables were
     actually produced with (verified empirically: curvature/nonlinear laps
     and path lengths match the published numbers only at this width)."""
-    _require_ref_data()
     from lap_time_optimization_tpu.track import Track
 
-    return Track.load(os.path.join(REFERENCE_DATA, "tracks", "buckmore.json"), track_width=0.99)
+    return Track.load(os.path.join(REPO_DATA, "tracks", "buckmore.json"), track_width=0.99)
 
 
 @pytest.fixture(scope="session")
 def tbr18():
-    _require_ref_data()
     from lap_time_optimization_tpu.models import load_vehicle
 
-    return load_vehicle(os.path.join(REFERENCE_DATA, "vehicles", "tbr18.json"))
+    return load_vehicle(os.path.join(REPO_DATA, "vehicles", "tbr18.json"))
 
 
 @pytest.fixture(scope="session")
 def mx5():
-    _require_ref_data()
     from lap_time_optimization_tpu.models import load_vehicle
 
-    return load_vehicle(os.path.join(REFERENCE_DATA, "vehicles", "MX5.json"))
+    return load_vehicle(os.path.join(REPO_DATA, "vehicles", "MX5.json"))
 
 
 @pytest.fixture(scope="session")

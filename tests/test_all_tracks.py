@@ -38,6 +38,7 @@ class TestEveryTrack:
         t = float(velocity.lap_time(s, v))
         assert 20.0 < t < 200.0
 
+    @pytest.mark.slow
     def test_curvature_optimization_runs(self, name, track, tbr18):
         from lap_time_optimization_tpu.optim import racing_line
 

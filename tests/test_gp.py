@@ -67,6 +67,7 @@ class TestFitPredict:
         assert 1e-3 < float(model.length_scale) < 1e3
 
 
+@pytest.mark.slow
 class TestGlobalSearch:
     def test_nonlinear_small_budget(self, buckmore, tbr18):
         from lap_time_optimization_tpu.optim import global_search
@@ -114,6 +115,7 @@ class TestPaddedFit:
         np.testing.assert_allclose(np.asarray(s2), np.asarray(s1), atol=1e-7)
 
 
+@pytest.mark.slow
 class TestCheckpointResume:
     def test_bayesian_resume(self, buckmore, tbr18, tmp_path):
         from lap_time_optimization_tpu.optim import global_search

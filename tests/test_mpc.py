@@ -196,6 +196,90 @@ class TestClosedLoop:
             assert np.asarray(ref["x"]).shape == (26, NX, 1)
 
 
+@pytest.mark.slow
+class TestRecordedTrace:
+    """Numeric parity against the committed 25-step do_mpc/IPOPT recording
+    (/root/reference/simulation_recorded_results.json, produced by
+    src/mpc.py:125-159 on the MX-5/buckmore/curvature artifacts).
+
+    The comparison splits into what the trace can and cannot oracle:
+    * PLANT: replaying the recorded controls through our RK4 bicycle model
+      must reproduce the recorded do_mpc/SUNDIALS states step by step — this
+      is the tight numeric gate (dynamics parity).
+    * CONTROLLER: the recorded control policy is NOT the optimum of its own
+      OCP — it holds vx≈5 and cuts throttle while the objective tracks
+      0.6·vref ≈ 13.5 m/s (IPOPT stalls on the nonsmooth lookup tables;
+      README.md:92 documents the pathology). Matching it numerically would
+      mean reproducing a failed solve, so the controller gates assert
+      domination instead: our closed loop must achieve LOWER accumulated true
+      OCP cost, MORE track progress, and SMALLER lateral deviation on the
+      identical model + artifacts, while remaining feasible.
+    """
+
+    @pytest.fixture(scope="class")
+    def recorded(self):
+        ref_path = os.path.join(os.path.dirname(REF_DATA), "simulation_recorded_results.json")
+        if not os.path.isfile(ref_path):
+            pytest.skip("recorded reference trace not available")
+        rec = json.load(open(ref_path))
+        return np.asarray(rec["x"])[:, :, 0], np.asarray(rec["u"])[:, :, 0]
+
+    def test_plant_parity_per_step(self, model, recorded):
+        xr, ur = recorded
+        xs_next = jax.vmap(
+            lambda x, u: model.step(x, u, 0.1, substeps=8)
+        )(jnp.asarray(xr[:-1]), jnp.asarray(ur[1:]))
+        dev = np.abs(np.asarray(xs_next) - xr[1:])
+        # measured max deviations (x64): s 1.6e-6, n/mu 7e-5, vx 9e-6,
+        # vy 1.1e-3, r 1.0e-3, steer/throttle ~1e-16 (exact integrators)
+        tol = np.array([1e-5, 3e-4, 3e-4, 1e-4, 4e-3, 4e-3, 1e-9, 1e-9])
+        assert np.all(dev.max(axis=0) < tol), dev.max(axis=0)
+
+    @pytest.fixture(scope="class")
+    def our_trace(self, model):
+        p = OCPParams.reference(jnp.float64)
+        cfg = SolverConfig.accurate(horizon=10)
+        x0 = jnp.asarray(runner.X0_REFERENCE)
+        res = runner.closed_loop(model, p, cfg, x0, 25)
+        return p, res
+
+    def _executed_cost(self, model, p, xs, us):
+        """Accumulated true stage cost along an executed trajectory."""
+        zs = jnp.concatenate([jnp.asarray(xs[:-1]), jnp.asarray(us[:-1])], axis=1)
+        costs = jax.vmap(lambda z, u: solver_mod.stage_cost(model, p, z, u))(
+            zs, jnp.asarray(us[1:])
+        )
+        return float(jnp.sum(costs))
+
+    def test_beats_recorded_controls(self, model, recorded, our_trace):
+        xr, ur = recorded
+        p, res = our_trace
+        xs, us = np.asarray(res.xs), np.asarray(res.us)
+        ours = self._executed_cost(model, p, xs, us)
+        ipopt = self._executed_cost(model, p, xr, ur)
+        # measured: ours 1554.7 vs IPOPT 1899.9 (−18%)
+        assert ours < ipopt
+        # more track progress in the same 2.5 s (measured 14.73 vs 12.46 m)
+        assert xs[-1, 0] > xr[-1, 0]
+        # tighter path tracking (measured max|n| 0.067 vs 0.173)
+        assert np.abs(xs[:, 1]).max() < np.abs(xr[:, 1]).max()
+        # while staying feasible
+        assert float(np.max(np.asarray(res.violations))) < 1e-2
+
+    def test_lateral_channels_agree(self, recorded, our_trace):
+        """Both controllers follow the same racing line from the same start:
+        the lateral/heading states must stay numerically close even though
+        the velocity policies differ (measured max dev: n 0.12, mu 0.022,
+        steer 0.035 over the 25 steps)."""
+        xr, _ = recorded
+        _, res = our_trace
+        xs = np.asarray(res.xs)
+        assert np.abs(xs[:, 1] - xr[:, 1]).max() < 0.15  # n [m]
+        assert np.abs(xs[:, 2] - xr[:, 2]).max() < 0.05  # mu [rad]
+        assert np.abs(xs[:, 6] - xr[:, 6]).max() < 0.06  # steer [rad]
+
+
+@pytest.mark.slow
 class TestHorizon20:
     def test_applied_trajectory_feasible(self, model):
         """The N=20 horizon class (BASELINE.md) with the horizon-scaled
@@ -218,6 +302,7 @@ class TestHorizon20:
         assert float(xs[-1, 0]) > 10.0
 
 
+@pytest.mark.slow
 class TestBatchedClosedLoop:
     def test_batch_equals_single(self, model):
         p = OCPParams.reference(jnp.float64)

@@ -48,6 +48,7 @@ class TestCurvatureMethod:
         )
         assert float(result.fun) <= res_sp.fun * 1.001
 
+    @pytest.mark.slow
     def test_lap_time_near_reference(self, buckmore99, tbr18):
         """README tables were produced at width≈0.99 (verified empirically);
         gate: no more than 1% WORSE than published (better is a win, not a
@@ -57,12 +58,14 @@ class TestCurvatureMethod:
         assert float(lap) < REF_CURVATURE_LAP_TBR18 * 1.01
         assert abs(float(length) - 860.772) / 860.772 < 0.01
 
+    @pytest.mark.slow
     def test_lap_time_near_reference_mx5(self, buckmore99, mx5):
         res = racing_line.minimise_curvature(buckmore99, max_iter=600)
         lap, _, _, _ = racing_line.evaluate_jit(buckmore99, mx5, res.x)
         assert float(lap) < REF_CURVATURE_LAP_MX5 * 1.01
 
 
+@pytest.mark.slow
 class TestDirectLapTime:
     def test_beats_reference(self, buckmore, tbr18):
         res = racing_line.minimise_lap_time(buckmore, tbr18, max_iter=300)
@@ -71,6 +74,7 @@ class TestDirectLapTime:
         assert float(lap) < REF_LAPTIME_LAP_TBR18
 
 
+@pytest.mark.slow
 class TestCompromise:
     def test_optimal_compromise(self, buckmore, tbr18):
         alphas, epsilon, history = racing_line.minimise_optimal_compromise(
@@ -89,6 +93,7 @@ class TestCompromise:
         assert float(lap) < 42.0
 
 
+@pytest.mark.slow
 class TestSectors:
     def test_sector_merge(self, buckmore, tbr18):
         alphas, eps_w, corners = racing_line.optimise_sectors(

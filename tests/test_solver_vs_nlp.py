@@ -95,6 +95,9 @@ def _slsqp_solve(model, p, cfg, z0, us0):
     return res
 
 
+pytestmark = pytest.mark.slow
+
+
 class TestAgainstNLPOracle:
     @pytest.mark.parametrize(
         "x0",
