@@ -34,11 +34,12 @@ def main():
     from lap_time_optimization_tpu.mpc import track as mpc_track
     from lap_time_optimization_tpu.mpc.solver import OCPParams, SolverConfig
 
-    track = mpc_track.load("MX-5", "buckmore", "curvature", base_dir="/root/reference/data")
+    repo_data = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data")
+    track = mpc_track.load("MX-5", "buckmore", "curvature", base_dir=repo_data)
     model = BicycleModel(vehicle=load_vehicle("MX5"), track=track)
     x0 = jnp.asarray(runner.X0_REFERENCE, jnp.float32)
-    p = OCPParams.reference(jnp.float32)
-    cfg = SolverConfig(horizon=10)
+    p = OCPParams.reference(jnp.float32, lateral_margin=0.05)
+    cfg = SolverConfig(horizon=10)  # backend="auto": fused Pallas kernel on TPU
 
     steps = int(os.environ.get("LTO_BENCH_STEPS", "50"))
     # warmup/compile

@@ -1,0 +1,133 @@
+"""Run the full README parity matrix and record it.
+
+Reproduces every published column of the reference's results tables
+(reference README.md:119-134: buckmore, width 0.99, tbr18 + MX5) with this
+framework's methods and writes `benchmarks/parity_matrix.json` holding
+{lap_time, run_time, length, max_v, mean_v} per column next to the published
+numbers. The slow-tier test `tests/test_parity_matrix.py` asserts every
+column at published*1.01.
+
+Usage: python benchmarks/run_parity_matrix.py [--platform cpu] [--x64]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+PUBLISHED = {
+    # README.md:119-125 (tbr18) and :127-134 (MX5): lap_time, length, max_v, mean_v
+    ("tbr18", "curvature"): dict(lap_time=39.934, length=860.772, max_v=40.050, mean_v=23.414),
+    ("tbr18", "compromise"): dict(lap_time=37.810, length=790.462, max_v=40.833, mean_v=22.958),
+    ("tbr18", "laptime"): dict(lap_time=40.892, length=830.327, max_v=37.790, mean_v=22.293),
+    ("tbr18", "bayes"): dict(lap_time=36.227, length=773.561, max_v=41.365, mean_v=23.908),
+    ("tbr18", "nonlinear"): dict(lap_time=36.178, length=772.140, max_v=43.333, mean_v=23.833),
+    ("MX5", "curvature"): dict(lap_time=49.172, length=856.095, max_v=24.783, mean_v=18.000),
+    ("MX5", "compromise"): dict(lap_time=47.730, length=810.150, max_v=23.753, mean_v=17.525),
+    ("MX5", "laptime"): dict(lap_time=53.648, length=845.530, max_v=24.186, mean_v=16.323),
+    ("MX5", "bayes"): dict(lap_time=48.056, length=806.397, max_v=25.615, mean_v=17.506),
+}
+
+PUBLISHED_RUNTIME = {  # README.md:122 / :131 (unspecified CPU host)
+    ("tbr18", "curvature"): 2.037, ("tbr18", "compromise"): 35.233,
+    ("tbr18", "laptime"): 47.472, ("tbr18", "bayes"): 22.396,
+    ("tbr18", "nonlinear"): 106.063,
+    ("MX5", "curvature"): 5.301, ("MX5", "compromise"): 101.786,
+    ("MX5", "laptime"): 65.495, ("MX5", "bayes"): 27.840,
+}
+
+
+def run_method(track, vehicle, method, seed=0):
+    import numpy as np
+
+    from lap_time_optimization_tpu.optim import global_search, racing_line
+
+    t0 = time.time()
+    if method == "curvature":
+        alphas = racing_line.minimise_curvature(track, max_iter=600).x
+    elif method == "compromise":
+        alphas, _, _ = racing_line.minimise_optimal_compromise(track, vehicle)
+    elif method == "laptime":
+        alphas = racing_line.minimise_lap_time(track, vehicle).x
+    elif method == "bayes":
+        alphas, _, _ = global_search.bayesian(track, vehicle, seed=seed)
+    elif method == "nonlinear":
+        alphas, _ = global_search.nonlinear(track, vehicle, seed=seed)
+    else:
+        raise ValueError(method)
+
+    if method in ("bayes", "nonlinear"):
+        lap, length, v, _ = global_search.evaluate_decongested_jit(track, vehicle, alphas)
+    else:
+        lap, length, v, _ = racing_line.evaluate_jit(track, vehicle, alphas)
+    run_time = time.time() - t0
+    v = np.asarray(v)
+    return dict(
+        lap_time=round(float(lap), 3),
+        run_time=round(run_time, 3),
+        length=round(float(length), 3),
+        max_v=round(float(v.max()), 3),
+        mean_v=round(float(v.mean()), 3),
+    )
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--platform", type=str, default=None)
+    ap.add_argument("--x64", action="store_true")
+    ap.add_argument("--out", type=str, default=os.path.join(os.path.dirname(__file__), "parity_matrix.json"))
+    ap.add_argument("--only", type=str, default=None,
+                    help="comma-separated 'vehicle/method' columns to (re)run; "
+                         "others are kept from an existing --out file")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    if args.x64:
+        jax.config.update("jax_enable_x64", True)
+
+    from lap_time_optimization_tpu.models import load_vehicle
+    from lap_time_optimization_tpu.track import Track
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    track = Track.load(os.path.join(repo, "data", "tracks", "buckmore.json"), track_width=0.99)
+    vehicles = {
+        "tbr18": load_vehicle(os.path.join(repo, "data", "vehicles", "tbr18.json")),
+        "MX5": load_vehicle(os.path.join(repo, "data", "vehicles", "MX5.json")),
+    }
+
+    results = {}
+    if args.only and os.path.isfile(args.out):
+        results = json.load(open(args.out)).get("columns", {})
+    only = set(args.only.split(",")) if args.only else None
+    for (veh_name, method), pub in PUBLISHED.items():
+        if only is not None and f"{veh_name}/{method}" not in only:
+            continue
+        got = run_method(track, vehicles[veh_name], method)
+        ratio = got["lap_time"] / pub["lap_time"]
+        results[f"{veh_name}/{method}"] = dict(
+            ours=got,
+            published={**pub, "run_time": PUBLISHED_RUNTIME[(veh_name, method)]},
+            lap_ratio=round(ratio, 4),
+        )
+        print(f"{veh_name:6s} {method:11s} lap {got['lap_time']:7.3f} vs {pub['lap_time']:7.3f} "
+              f"({(ratio-1)*100:+.2f}%)  run {got['run_time']:.1f}s vs "
+              f"{PUBLISHED_RUNTIME[(veh_name, method)]:.1f}s", flush=True)
+
+    meta = dict(
+        track="buckmore", width=0.99, seed=0,
+        backend=jax.devices()[0].platform,
+        x64=bool(jax.config.jax_enable_x64),
+    )
+    with open(args.out, "w") as f:
+        json.dump(dict(meta=meta, columns=results), f, indent=2)
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

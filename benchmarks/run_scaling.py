@@ -1,0 +1,111 @@
+"""Record scaling evidence for the batched racing-line search.
+
+Two artifacts (BASELINE.md "≥80% scaling efficiency" row):
+* `scaling_cpu_virtual8.json` — weak scaling over a 1/2/4/8-device virtual
+  CPU mesh (XLA_FLAGS=--xla_force_host_platform_device_count=8). This
+  validates the SHARDING (same code path as real multi-chip; collectives
+  and partitioning are real, the devices share host cores so efficiency
+  numbers are a lower bound on communication overhead, not compute scaling).
+* `scaling_tpu_1chip.json` — single-chip throughput anchor vs batch size on
+  the real TPU; the per-chip rate that a multi-chip mesh would multiply.
+
+Usage:
+  python benchmarks/run_scaling.py --mode cpu
+  python benchmarks/run_scaling.py --mode tpu
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+OUT_DIR = os.path.dirname(os.path.abspath(__file__))
+
+
+def load_stack():
+    from lap_time_optimization_tpu.models import load_vehicle
+    from lap_time_optimization_tpu.track import Track
+
+    repo = os.path.dirname(OUT_DIR)
+    track = Track.load(os.path.join(repo, "data", "tracks", "buckmore.json"), track_width=0.8)
+    vehicle = load_vehicle(os.path.join(repo, "data", "vehicles", "tbr18.json"))
+    return track, vehicle
+
+
+def run_cpu():
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from lap_time_optimization_tpu.parallel import scaling
+
+    track, vehicle = load_stack()
+    results = scaling.measure(track, vehicle, device_counts=(1, 2, 4, 8), batch_per_device=64)
+    print(scaling.report(results))
+    out = os.path.join(OUT_DIR, "scaling_cpu_virtual8.json")
+    with open(out, "w") as f:
+        json.dump(
+            dict(
+                mode="weak-scaling, virtual 8-device CPU mesh (sharding validation)",
+                batch_per_device=64,
+                results={str(k): v for k, v in results.items()},
+            ),
+            f,
+            indent=2,
+        )
+    print("wrote", out)
+
+
+def run_tpu():
+    import jax
+
+    from lap_time_optimization_tpu.parallel import mesh as pmesh
+
+    track, vehicle = load_stack()
+    import jax.numpy as jnp
+
+    mesh = pmesh.make_mesh(1, sp=1)
+    rows = {}
+    for B in (64, 256, 1024, 4096):
+        key = jax.random.PRNGKey(0)
+        alphas = jax.random.uniform(key, (B, track.size), track.left.dtype)
+        sigma = jnp.asarray(0.1, track.left.dtype)
+        with jax.set_mesh(mesh):
+            a = pmesh.shard_batch(mesh, alphas)
+            a, t_best, _ = pmesh.search_step(track, vehicle, a, key, sigma)
+            t_best.block_until_ready()
+            t0 = time.perf_counter()
+            for _ in range(3):
+                key, kr = jax.random.split(key)
+                a, t_best, _ = pmesh.search_step(track, vehicle, a, kr, sigma)
+            t_best.block_until_ready()
+            dt = (time.perf_counter() - t0) / 3
+        rows[B] = dict(evals_per_s=B / dt, sec_per_round=dt)
+        print(f"B={B}: {B/dt:.0f} evals/s ({dt*1e3:.1f} ms/round)")
+    out = os.path.join(OUT_DIR, "scaling_tpu_1chip.json")
+    with open(out, "w") as f:
+        json.dump(
+            dict(
+                mode="single-chip throughput anchor (real TPU)",
+                device=str(jax.devices()[0]),
+                results={str(k): v for k, v in rows.items()},
+            ),
+            f,
+            indent=2,
+        )
+    print("wrote", out)
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", choices=("cpu", "tpu"), required=True)
+    if ap.parse_args().mode == "cpu":
+        run_cpu()
+    else:
+        run_tpu()

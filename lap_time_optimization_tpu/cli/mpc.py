@@ -113,7 +113,7 @@ def main(argv=None):
         OCPParams.reference(dtype),
         q_n=a(mc.q_n), q_mu=a(mc.q_mu), q_B=a(mc.q_B),
         r_delta=a(mc.r_controls[0]), r_throttle=a(mc.r_controls[1]),
-        vref_scale=a(mc.vref_scale),
+        vref_scale=a(mc.vref_scale), lateral_margin=a(mc.lateral_margin),
     )
     cfg = SolverConfig.for_horizon(mc.horizon, dt=mc.dt)
     x0 = jnp.asarray(mc.x0, dtype)

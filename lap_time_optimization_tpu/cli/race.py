@@ -157,6 +157,7 @@ def _run_inner(args) -> dict:
             n_init=b.n_init, n_local=b.n_local, n_uniform=b.n_uniform,
             max_rounds=b.max_rounds, sigma_window=b.sigma_window,
             sigma_tol=b.sigma_tol, min_samples=b.min_samples,
+            polish_every=b.polish_every, polish_iters=b.polish_iters,
         )
         print(f"  converged after {info['rounds']} rounds / {info['n_samples']} samples")
     elif args.method == "nonlinear":

@@ -62,7 +62,18 @@ def closed_loop(
         x, us_warm, lam_warm, u_prev = carry
         z0 = jnp.concatenate([x, u_prev])
         res = solver_mod.solve(model, p, cfg, z0, us_warm, lam_warm)
-        u0 = res.us[0]
+        # actuator saturation: the AL solver leaves O(1e-2) slack on the
+        # input/actuator boxes at fixed iteration budgets; the physical
+        # actuators (and the reference's hard NLP bounds,
+        # src/mpc/controller.py:79-103) cannot exceed them, so the APPLIED
+        # input is clipped to the rate limits AND so the (exactly
+        # integrated) steer/throttle states stay inside their boxes.
+        rate_lim = jnp.stack([p.dsteer_max, p.dthrottle_max])
+        box = jnp.stack([p.steer_max, p.throttle_max])
+        act = jnp.stack([x[6], x[7]])
+        lo = jnp.maximum(-rate_lim, (-box - act) / cfg.dt)
+        hi = jnp.minimum(rate_lim, (box - act) / cfg.dt)
+        u0 = jnp.clip(res.us[0], lo, hi)
         x_next = model.step(x, u0, cfg.dt, substeps=cfg.substeps)
         # shift warm starts one stage forward
         us_next = jnp.concatenate([res.us[1:], res.us[-1:]], axis=0)
@@ -91,7 +102,15 @@ def closed_loop_batch(
     B cars / scenarios / parameter variations simulated simultaneously.
     Throughput scales with B until the chip saturates, amortizing the
     per-step dispatch latency that bounds the single-stream rate.  For a
-    multi-chip fleet use `closed_loop_fleet`."""
+    multi-chip fleet use `closed_loop_fleet`.
+
+    The batch axis supplies the parallelism here, so the XLA scan backend
+    is forced: vmapping the single-stream Pallas kernel would serialize
+    the batch through one VMEM-resident program (measured 917 vs 1528+
+    solves/s at B=32)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(cfg, backend="xla")
     return jax.vmap(lambda x0: closed_loop(model, p, cfg, x0, steps))(x0_batch)
 
 

@@ -63,9 +63,14 @@ class OCPParams:
     throttle_max: jax.Array
     dsteer_max: jax.Array
     dthrottle_max: jax.Array
+    # Lateral constraint-tightening margin [m]: the SOLVER sees a band
+    # shrunk by this much, so the fixed-iteration real-time presets keep
+    # their small transient slack strictly inside the true track band.
+    # Violations are always REPORTED against the true (margin-0) band.
+    lateral_margin: jax.Array = None
 
     @classmethod
-    def reference(cls, dtype=jnp.float32) -> "OCPParams":
+    def reference(cls, dtype=jnp.float32, lateral_margin: float = 0.0) -> "OCPParams":
         a = lambda v: jnp.asarray(v, dtype)
         return cls(
             q_n=a(0.5),
@@ -79,6 +84,7 @@ class OCPParams:
             throttle_max=a(1.0),
             dsteer_max=a(jnp.pi / 2),
             dthrottle_max=a(1.0),
+            lateral_margin=a(lateral_margin),
         )
 
 
@@ -103,6 +109,19 @@ class SolverConfig:
     # loop overhead.  1 = plain scan (smallest program, slowest dispatch).
     unroll_horizon: int = dataclasses.field(metadata=dict(static=True), default=1)
     unroll_ilqr: int = dataclasses.field(metadata=dict(static=True), default=1)
+    # Quadraticization of the AL cost in the backward pass:
+    # "gauss_newton" — exact gradients + J^T J Hessians from one forward-mode
+    #   Jacobian of the residual/constraint stacks (the cost is exactly a
+    #   nonlinear least-squares, see `stage_residuals`); PSD by construction.
+    # "exact" — jax.hessian of the AL stage cost (round-1 behavior).
+    hessian_mode: str = dataclasses.field(metadata=dict(static=True), default="gauss_newton")
+    # Riccati + line-search execution backend:
+    # "auto"      — fused Pallas kernel on TPU, XLA scans elsewhere
+    # "pallas"    — force the fused kernel (ops/pallas_ilqr.py)
+    # "interpret" — Pallas interpreter mode (CPU parity tests)
+    # "xla"       — the lax.scan path
+    # The kernel requires hessian_mode="gauss_newton".
+    backend: str = dataclasses.field(metadata=dict(static=True), default="auto")
 
     @classmethod
     def accurate(cls, horizon: int = 10, dt: float = 0.1) -> "SolverConfig":
@@ -115,17 +134,17 @@ class SolverConfig:
 
     @classmethod
     def for_horizon(cls, horizon: int, dt: float = 0.1) -> "SolverConfig":
-        """Real-time preset scaled to the horizon.  Long horizons run ONE
-        stiff AL round per control cycle (ρ=200) with more iLQR iterations:
-        in receding horizon the shifted multipliers keep converging across
-        cycles, so per-solve multiplier updates can be minimal (validated:
-        h20 applied-trajectory violation < 0.03 over 150 closed-loop steps
-        at half the iteration budget of a 2-round schedule)."""
+        """Real-time preset scaled to the horizon.  Long horizons run two
+        stiff AL rounds with a gentle penalty ramp (ρ 200→400): measured on
+        buckmore h20 over 150 closed-loop steps (with the 5 cm lateral
+        tightening margin), applied-state violations drop to 2.3e-3 vs
+        4e-2 for a single-round schedule at the same total iLQR budget."""
         if horizon <= 12:
             return cls(horizon=horizon, dt=dt)
         return cls(
             horizon=horizon, dt=dt, substeps=2,
-            al_iters=1, ilqr_iters=8, n_linesearch=6, rho_init=200.0,
+            al_iters=2, ilqr_iters=5, n_linesearch=6,
+            rho_init=200.0, rho_scale=2.0,
         )
 
 
@@ -160,6 +179,36 @@ def stage_cost(model: BicycleModel, p: OCPParams, z: jax.Array, u: jax.Array) ->
     return lterm + rterm
 
 
+N_RES = 7  # stage residuals; first N_RES_TERM form the terminal cost
+N_RES_TERM = 3
+
+
+def stage_residuals(model: BicycleModel, p: OCPParams, z: jax.Array, u: jax.Array) -> jax.Array:
+    """Weighted residual vector r with stage_cost(z, u) == sum(r²).
+
+    Every term of the reference objective (src/mpc/controller.py:52-53 plus
+    the Δu rterm) is a square, so the cost is exactly a nonlinear
+    least-squares — the basis for the Gauss-Newton quadraticization."""
+    x = z[:NX]
+    u_prev = z[NX:]
+    veh = model.vehicle
+    vref = model.track.v_ref(x[IDX_S])
+    b_dyn = jnp.arctan(x[IDX_VY] / jnp.maximum(x[IDX_VX], 1e-3))
+    b_kin = jnp.arctan(x[IDX_DELTA] * veh.length_r / (veh.length_f + veh.length_r))
+    du = u - u_prev
+    return jnp.stack(
+        [
+            jnp.sqrt(p.q_n) * x[IDX_N],
+            jnp.sqrt(p.q_mu) * x[IDX_MU],
+            x[IDX_VY],
+            x[IDX_VX] - p.vref_scale * vref,
+            jnp.sqrt(p.q_B) * (b_dyn - b_kin),
+            jnp.sqrt(p.r_delta) * du[0],
+            jnp.sqrt(p.r_throttle) * du[1],
+        ]
+    )
+
+
 def terminal_cost(model: BicycleModel, p: OCPParams, z: jax.Array) -> jax.Array:
     """mterm (reference src/mpc/controller.py:52)."""
     x = z[:NX]
@@ -167,9 +216,26 @@ def terminal_cost(model: BicycleModel, p: OCPParams, z: jax.Array) -> jax.Array:
 
 
 def constraints(model: BicycleModel, p: OCPParams, z: jax.Array, u: jax.Array) -> jax.Array:
-    """All stage inequalities g ≤ 0 (reference src/mpc/controller.py:57-103)."""
+    """All stage inequalities g ≤ 0 against the TRUE band
+    (reference src/mpc/controller.py:57-103)."""
+    return _constraints(model, p, z, u, jnp.asarray(0.0, z.dtype))
+
+
+def tightened_constraints(model: BicycleModel, p: OCPParams, z: jax.Array, u: jax.Array) -> jax.Array:
+    """Constraints as the SOLVER sees them: the lateral band shrunk by
+    `p.lateral_margin` so fixed-iteration real-time solves keep their
+    transient slack strictly inside the true track limits."""
+    margin = p.lateral_margin
+    if margin is None:
+        margin = jnp.asarray(0.0, z.dtype)
+    return _constraints(model, p, z, u, margin)
+
+
+def _constraints(model, p, z, u, lateral_margin) -> jax.Array:
     x = z[:NX]
     left, right = model.lateral_constraints(x[IDX_S], x[IDX_N], x[IDX_MU])
+    left = left + lateral_margin
+    right = right + lateral_margin
     return jnp.stack(
         [
             left,
@@ -197,13 +263,13 @@ def _al_penalty(g: jax.Array, lam: jax.Array, rho) -> jax.Array:
 
 
 def al_stage_cost(model, p, z, u, lam, rho):
-    return stage_cost(model, p, z, u) + _al_penalty(constraints(model, p, z, u), lam, rho)
+    return stage_cost(model, p, z, u) + _al_penalty(tightened_constraints(model, p, z, u), lam, rho)
 
 
 def al_terminal_cost(model, p, z, lam, rho):
     # terminal constraints: state rows only (inputs don't exist at stage N);
     # reuse the stage constraint vector with u = 0 and mask the input rows.
-    g = constraints(model, p, z, jnp.zeros((NU,), z.dtype))
+    g = tightened_constraints(model, p, z, jnp.zeros((NU,), z.dtype))
     mask = jnp.arange(N_CON) < 10
     g = jnp.where(mask, g, -1.0)
     return terminal_cost(model, p, z) + _al_penalty(g, lam, rho)
@@ -237,6 +303,66 @@ def _max_violation(model, p, zs, us):
     return jnp.maximum(jnp.max(g), jnp.max(g_term))
 
 
+def _quads_exact(model, p, z, u, lam, rho):
+    """Full second-order quadraticization via jax.hessian (round-1 path)."""
+    c = lambda zz, uu: al_stage_cost(model, p, zz, uu, lam, rho)
+    lz = jax.grad(c, argnums=0)(z, u)
+    lu = jax.grad(c, argnums=1)(z, u)
+    lzz = jax.hessian(c, argnums=0)(z, u)
+    luu = jax.hessian(c, argnums=1)(z, u)
+    luz = jax.jacfwd(jax.grad(c, argnums=1), argnums=0)(z, u)
+    return lz, lu, lzz, luu, luz
+
+
+def _quads_gauss_newton(model, p, z, u, lam, rho):
+    """Exact gradient + Gauss-Newton Hessian from residual Jacobians.
+
+    cost = Σ r(z,u)² + Σ φ(g(z,u), λ, ρ), so
+      ∇   = 2 Jrᵀ r + Jgᵀ φ'           (exact: φ' = max(0, λ+ρg))
+      ∇²  ≈ 2 JrᵀJr + ρ Jgᵀ diag(act) Jg   (dropping residual curvature)
+    PSD by construction, and one forward-mode Jacobian per stack replaces
+    two Hessians + a mixed Jacobian."""
+    zu = jnp.concatenate([z, u])
+
+    def res(zu_):
+        return stage_residuals(model, p, zu_[:NZ], zu_[NZ:])
+
+    def cons(zu_):
+        return tightened_constraints(model, p, zu_[:NZ], zu_[NZ:])
+
+    r, Jr = res(zu), jax.jacfwd(res)(zu)  # (N_RES,), (N_RES, NZ+NU)
+    g, Jg = cons(zu), jax.jacfwd(cons)(zu)  # (N_CON,), (N_CON, NZ+NU)
+    phi = jnp.maximum(0.0, lam + rho * g)
+    act = jnp.where(phi > 0.0, rho, 0.0)
+    grad = 2.0 * Jr.T @ r + Jg.T @ phi
+    hess = 2.0 * Jr.T @ Jr + Jg.T @ (act[:, None] * Jg)
+    lz, lu = grad[:NZ], grad[NZ:]
+    lzz = hess[:NZ, :NZ]
+    luu = hess[NZ:, NZ:]
+    luz = hess[NZ:, :NZ]
+    return lz, lu, lzz, luu, luz
+
+
+def _terminal_quads_gauss_newton(model, p, z, lam, rho):
+    """GN quadraticization of the terminal cost (mterm + masked AL)."""
+    u0 = jnp.zeros((NU,), z.dtype)
+
+    def res(zz):
+        return stage_residuals(model, p, zz, zz[NX:])[:N_RES_TERM]
+
+    def cons(zz):
+        g = tightened_constraints(model, p, zz, u0)
+        return jnp.where(jnp.arange(N_CON) < 10, g, -1.0)
+
+    r, Jr = res(z), jax.jacfwd(res)(z)
+    g, Jg = cons(z), jax.jacfwd(cons)(z)
+    phi = jnp.maximum(0.0, lam + rho * g)
+    act = jnp.where(phi > 0.0, rho, 0.0)
+    Vz = 2.0 * Jr.T @ r + Jg.T @ phi
+    Vzz = 2.0 * Jr.T @ Jr + Jg.T @ (act[:, None] * Jg)
+    return Vz, Vzz
+
+
 def _backward_pass(model, p, cfg, zs, us, lams, rho, reg):
     """Riccati sweep on the AL cost; returns feedforward k and feedback K."""
     # linearize dynamics and quadraticize cost along the trajectory (vmapped)
@@ -247,20 +373,18 @@ def _backward_pass(model, p, cfg, zs, us, lams, rho, reg):
         zs[:-1], us
     )
 
-    def quads(z, u, lam):
-        c = lambda zz, uu: al_stage_cost(model, p, zz, uu, lam, rho)
-        lz = jax.grad(c, argnums=0)(z, u)
-        lu = jax.grad(c, argnums=1)(z, u)
-        lzz = jax.hessian(c, argnums=0)(z, u)
-        luu = jax.hessian(c, argnums=1)(z, u)
-        luz = jax.jacfwd(jax.grad(c, argnums=1), argnums=0)(z, u)
-        return lz, lu, lzz, luu, luz
-
-    lz, lu, lzz, luu, luz = jax.vmap(quads)(zs[:-1], us, lams[:-1])
-
-    tc = lambda zz: al_terminal_cost(model, p, zz, lams[-1], rho)
-    Vz = jax.grad(tc)(zs[-1])
-    Vzz = jax.hessian(tc)(zs[-1])
+    if cfg.hessian_mode == "gauss_newton":
+        lz, lu, lzz, luu, luz = jax.vmap(
+            lambda z, u, lam: _quads_gauss_newton(model, p, z, u, lam, rho)
+        )(zs[:-1], us, lams[:-1])
+        Vz, Vzz = _terminal_quads_gauss_newton(model, p, zs[-1], lams[-1], rho)
+    else:
+        lz, lu, lzz, luu, luz = jax.vmap(
+            lambda z, u, lam: _quads_exact(model, p, z, u, lam, rho)
+        )(zs[:-1], us, lams[:-1])
+        tc = lambda zz: al_terminal_cost(model, p, zz, lams[-1], rho)
+        Vz = jax.grad(tc)(zs[-1])
+        Vzz = jax.hessian(tc)(zs[-1])
 
     I_u = jnp.eye(NU, dtype=zs.dtype)
 
@@ -324,6 +448,47 @@ def _forward_pass(model, p, cfg, zs, us, ks, Ks, lams, rho):
     return costs[best], zs_b[best], us_b[best]
 
 
+def _resolved_backend(cfg: SolverConfig) -> str:
+    if cfg.backend == "auto":
+        return "pallas" if jax.default_backend() == "tpu" else "xla"
+    return cfg.backend
+
+
+def _iterate_xla(model, p, cfg, zs, us, lams, rho, reg):
+    """One iLQR iteration on the lax.scan path."""
+    ks, Ks, diverged = _backward_pass(model, p, cfg, zs, us, lams, rho, reg)
+    new_cost, zs_new, us_new = _forward_pass(model, p, cfg, zs, us, ks, Ks, lams, rho)
+    return new_cost, zs_new, us_new, diverged
+
+
+def _iterate_pallas(model, p, cfg, zs, us, lams, rho, reg, interpret: bool):
+    """One iLQR iteration with the fused VMEM-resident kernel:
+    linearization + GN quadraticization stay in XLA (stage-parallel), the
+    serial Riccati + line-search rollout run inside ops/pallas_ilqr."""
+    from lap_time_optimization_tpu.ops import pallas_ilqr as PK
+
+    dtype = zs.dtype
+    A = jax.vmap(lambda z, u: jax.jacfwd(lambda zz: dynamics_step(model, cfg, zz, u))(z))(
+        zs[:-1], us
+    )
+    B = jax.vmap(lambda z, u: jax.jacfwd(lambda uu: dynamics_step(model, cfg, z, uu))(u))(
+        zs[:-1], us
+    )
+    lz, lu, lzz, luu, luz = jax.vmap(
+        lambda z, u, lam: _quads_gauss_newton(model, p, z, u, lam, rho)
+    )(zs[:-1], us, lams[:-1])
+    Vz, Vzz = _terminal_quads_gauss_newton(model, p, zs[-1], lams[-1], rho)
+    tables = PK.tables_matrix(model, dtype)
+    scal = PK.scal_vector(model, p, cfg, rho, reg, dtype)
+    alphas = (10.0 ** jnp.linspace(0.0, -2.5, cfg.n_linesearch)).astype(dtype)
+    zs_new, us_new, new_cost, ok = PK.backward_forward(
+        A, B, lz, lu, lzz, luu, luz, Vz, Vzz, zs, us, lams, tables, alphas, scal,
+        N=cfg.horizon, L=cfg.n_linesearch, substeps=cfg.substeps,
+        interpret=interpret,
+    )
+    return new_cost, zs_new, us_new, ok < 0.5
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def solve(
     model: BicycleModel,
@@ -340,14 +505,23 @@ def solve(
     lams = lam_init
     rho = jnp.asarray(cfg.rho_init, dtype)
 
+    backend = _resolved_backend(cfg)
+    if backend in ("pallas", "interpret") and cfg.hessian_mode != "gauss_newton":
+        raise ValueError("the fused Pallas backend requires hessian_mode='gauss_newton'")
+    if backend in ("pallas", "interpret"):
+        iterate = partial(_iterate_pallas, interpret=(backend == "interpret"))
+    else:
+        iterate = _iterate_xla
+
     def al_round(carry, _):
         zs, us, lams, rho = carry
         cost0 = _total_al_cost(model, p, cfg, zs, us, lams, rho)
 
         def ilqr_iter(carry2, _):
             zs, us, cost, reg = carry2
-            ks, Ks, diverged = _backward_pass(model, p, cfg, zs, us, lams, rho, reg)
-            new_cost, zs_new, us_new = _forward_pass(model, p, cfg, zs, us, ks, Ks, lams, rho)
+            new_cost, zs_new, us_new, diverged = iterate(
+                model, p, cfg, zs, us, lams, rho, reg
+            )
             improved = (new_cost < cost) & ~diverged
             zs = jnp.where(improved, zs_new, zs)
             us = jnp.where(improved, us_new, us)
@@ -362,9 +536,9 @@ def solve(
             length=cfg.ilqr_iters, unroll=cfg.unroll_ilqr,
         )
 
-        # multiplier + penalty update
-        g_stage = jax.vmap(lambda z, u: constraints(model, p, z, u))(zs[:-1], us)
-        g_term = constraints(model, p, zs[-1], jnp.zeros((NU,), dtype))
+        # multiplier + penalty update (on the tightened band the AL optimizes)
+        g_stage = jax.vmap(lambda z, u: tightened_constraints(model, p, z, u))(zs[:-1], us)
+        g_term = tightened_constraints(model, p, zs[-1], jnp.zeros((NU,), dtype))
         g_term = jnp.where(jnp.arange(N_CON) < 10, g_term, -1.0)
         g_all = jnp.concatenate([g_stage, g_term[None]], axis=0)
         lams = jnp.maximum(0.0, lams + rho * g_all)

@@ -36,16 +36,23 @@ class CompromiseConfig:
 
 @dataclasses.dataclass
 class BayesConfig:
-    """Bayesian search (reference tbn.py:120-205)."""
+    """Bayesian search (reference tbn.py:120-205).
 
-    n_init: int = 10  # tbn.py:136
+    Budgets are TPU-scaled for quality parity with the published results
+    (see optim/global_search.bayesian): the reference's 10 serial inits
+    become one vmapped batch of 128, and its per-round COBYLA(10000)
+    incumbent refinement becomes a 200-iteration exact-gradient polish."""
+
+    n_init: int = 128  # tbn.py:136 does 10, serially
     n_local: int = 64
     n_uniform: int = 64
     max_rounds: int = 60
     sigma_window: int = 10  # tbn.py:195
     sigma_tol: float = 1e-3  # tbn.py:195
-    min_samples: int = 20  # tbn.py:195
+    min_samples: int = 25  # tbn.py:195 uses 20
     alpha_hi: float = 0.99  # tbn.py:142
+    polish_every: int = 1  # tbn.py:117 refines the incumbent every round
+    polish_iters: int = 200
 
 
 @dataclasses.dataclass
@@ -70,6 +77,10 @@ class MPCConfig:
     r_controls: tuple = (1e-2, 1e-2)
     vref_scale: float = 0.6
     x0: tuple = (0.0, 0.0, 0.0, 5.0, 0.0, 0.0, 0.0, 0.1)
+    # Divergence from the reference (which has no tightening): the solver
+    # optimizes a band shrunk by this margin [m] so the fixed-iteration
+    # real-time presets keep applied states strictly inside the true track.
+    lateral_margin: float = 0.05
 
 
 @dataclasses.dataclass

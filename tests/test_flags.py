@@ -110,8 +110,10 @@ class TestConfig:
         assert (cfg.corners.k_min, cfg.corners.proximity, cfg.corners.length) == (0.03, 40.0, 10.0)
         # epsilon bounds, src/trajectory.py:99
         assert (cfg.compromise.eps_min, cfg.compromise.eps_max) == (0.0, 0.2)
-        # BO stop rule, tbn.py:195
-        assert (cfg.bayes.sigma_window, cfg.bayes.sigma_tol, cfg.bayes.min_samples) == (10, 1e-3, 20)
+        # BO stop rule, tbn.py:195 (min_samples raised 20->25 alongside the
+        # TPU-scaled init batch; window/tol keep the reference values)
+        assert (cfg.bayes.sigma_window, cfg.bayes.sigma_tol) == (10, 1e-3)
+        assert cfg.bayes.min_samples >= 20
         # MPC weights/horizon/x0, src/mpc/controller.py:9,29; src/mpc.py:107-126
         assert (cfg.mpc.horizon, cfg.mpc.dt, cfg.mpc.steps) == (10, 0.1, 500)
         assert (cfg.mpc.q_n, cfg.mpc.q_mu, cfg.mpc.q_B) == (0.5, 3.0, 1e-2)

@@ -153,34 +153,46 @@ class TestSolver:
 class TestClosedLoop:
     @pytest.fixture(scope="class")
     def sim(self, model):
-        p = OCPParams.reference(jnp.float64)
-        cfg = SolverConfig(horizon=10)  # real-time defaults
+        # production defaults: real-time preset + 5 cm lateral tightening
+        p = OCPParams.reference(jnp.float64, lateral_margin=0.05)
+        cfg = SolverConfig(horizon=10)
         x0 = jnp.asarray(runner.X0_REFERENCE)
-        return model, runner.closed_loop(model, p, cfg, x0, 25)
+        return model, p, runner.closed_loop(model, p, cfg, x0, 25)
 
     def test_progresses_forward(self, sim):
-        _, res = sim
+        _, _, res = sim
         s = np.asarray(res.xs[:, 0])
         assert np.all(np.diff(s) > 0)
         assert s[-1] > 10.0  # ≥ the reference trace progress (12.46 in 25 steps)
 
     def test_stays_on_track(self, sim):
-        model, res = sim
+        model, _, res = sim
         xs = res.xs
         nl = np.asarray(model.track.dist_left(xs[:, 0]))
         nr = np.asarray(model.track.dist_right(xs[:, 0]))
         n = np.asarray(xs[:, 1])
         assert np.all(n < nl + 1e-2) and np.all(-n < nr + 1e-2)
 
+    def test_applied_states_feasible(self, sim):
+        """With the 5 cm tightening margin, APPLIED closed-loop states must
+        respect the true constraints to < 1e-2 (VERDICT r1 weak #3; measured
+        8.6e-3 over 150 steps for the h10 real-time preset)."""
+        model, p, res = sim
+        xs, us = res.xs, res.us
+        g = jax.vmap(
+            lambda x, u: solver_mod.constraints(
+                model, p, jnp.concatenate([x, jnp.zeros(2)]), u
+            )
+        )(xs[1:], us[1:])
+        assert float(jnp.max(g)) < 1e-2
+
     def test_constraint_violations_small(self, sim):
-        # the real-time config tolerates small transient incursions (<6 cm of
-        # footprint margin) in the tight-boundary pockets; the accurate preset
-        # drives this to ~5e-4 (see TestSolver)
-        _, res = sim
-        assert float(np.max(np.asarray(res.violations))) < 0.06
+        # max violation over the *predicted* trajectories (tails included)
+        _, _, res = sim
+        assert float(np.max(np.asarray(res.violations))) < 0.02
 
     def test_sim_results_schema(self, sim):
-        model, res = sim
+        model, _, res = sim
         data = runner.to_sim_results(model, res)
         x = np.asarray(data["x"])
         u = np.asarray(data["u"])
@@ -283,13 +295,15 @@ class TestRecordedTrace:
 class TestHorizon20:
     def test_applied_trajectory_feasible(self, model):
         """The N=20 horizon class (BASELINE.md) with the horizon-scaled
-        preset: applied closed-loop states must respect the constraints even
-        though the prediction tail may carry transient slack."""
+        preset (two gentle AL rounds + 5 cm tightening): applied closed-loop
+        states must respect the TRUE constraints to < 1e-2 even though the
+        prediction tail may carry transient slack (measured 2.9e-3 over 150
+        steps)."""
         import jax
 
-        p = OCPParams.reference(jnp.float64)
+        p = OCPParams.reference(jnp.float64, lateral_margin=0.05)
         cfg = solver_mod.SolverConfig.for_horizon(20)
-        assert cfg.ilqr_iters >= 8  # scaled up vs the h10 default
+        assert cfg.al_iters >= 2  # feasibility needs the second AL round
         x0 = jnp.asarray(runner.X0_REFERENCE)
         sim = runner.closed_loop(model, p, cfg, x0, 20)
         xs, us = sim.xs, sim.us
@@ -298,7 +312,7 @@ class TestHorizon20:
                 model, p, jnp.concatenate([x, jnp.zeros(2)]), u
             )
         )(xs[1:], us[1:])
-        assert float(jnp.max(g)) < 0.04
+        assert float(jnp.max(g)) < 1e-2
         assert float(xs[-1, 0]) > 10.0
 
 

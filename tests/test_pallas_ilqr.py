@@ -1,0 +1,108 @@
+"""Parity gates for the fused Pallas iLQR kernel (ops/pallas_ilqr.py).
+
+The kernel runs in interpreter mode on CPU here, compared against the XLA
+lax.scan path (`mpc/solver._backward_pass` + `_forward_pass`) on identical
+inputs — same Riccati recursion, same line-search ladder, same AL cost.
+Deviations are float rounding-order only.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lap_time_optimization_tpu.mpc import runner, solver as S
+from lap_time_optimization_tpu.mpc import track as mpc_track
+from lap_time_optimization_tpu.mpc.solver import N_CON, NU, OCPParams, SolverConfig
+from lap_time_optimization_tpu.ops import pallas_ilqr as PK
+
+REPO_DATA = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "data")
+
+
+@pytest.fixture(scope="module")
+def stack(mx5):
+    from lap_time_optimization_tpu.models.bicycle import BicycleModel
+
+    d = os.path.join(REPO_DATA, "plots", "MX-5", "buckmore", "curvature")
+    if not os.path.isdir(d):
+        pytest.skip("shipped curvature artifacts not available")
+    track = mpc_track.load("MX-5", "buckmore", "curvature", base_dir=REPO_DATA)
+    return BicycleModel(vehicle=mx5, track=track)
+
+
+def _cast(model, dtype):
+    """Cast every float leaf of the model pytree (tables run f64 under the
+    x64 test env; the f32 case exercises production TPU precision)."""
+    return jax.tree.map(
+        lambda a: a.astype(dtype) if jnp.issubdtype(a.dtype, jnp.floating) else a,
+        model,
+    )
+
+
+def _inputs(model, dtype, cfg, p, throttle=0.05):
+    x0 = jnp.asarray(runner.X0_REFERENCE, dtype)
+    z0 = jnp.concatenate([x0, jnp.zeros((NU,), dtype)])
+    us = jnp.full((cfg.horizon, NU), throttle, dtype)
+    lams = jnp.zeros((cfg.horizon + 1, N_CON), dtype)
+    zs = S._rollout(model, cfg, z0, us)
+    return z0, zs, us, lams
+
+
+class TestKernelParity:
+    @pytest.mark.parametrize("dtype_name", ["float32", "float64"])
+    def test_one_iteration_matches_xla(self, stack, dtype_name):
+        dtype = jnp.dtype(dtype_name)
+        model = _cast(stack, dtype)
+        cfg = SolverConfig(horizon=10)
+        p = OCPParams.reference(dtype, lateral_margin=0.05)
+        _, zs, us, lams = _inputs(model, dtype, cfg, p)
+        rho = jnp.asarray(cfg.rho_init, dtype)
+        reg = jnp.asarray(1e-6, dtype)
+
+        cost_x, zs_x, us_x = S._forward_pass(
+            model, p, cfg, zs, us,
+            *S._backward_pass(model, p, cfg, zs, us, lams, rho, reg)[:2],
+            lams, rho,
+        )
+        new_cost, zs_k, us_k, diverged = S._iterate_pallas(
+            model, p, cfg, zs, us, lams, rho, reg, interpret=True
+        )
+        tol = 1e-5 if dtype == jnp.float32 else 1e-11
+        assert not bool(diverged)
+        np.testing.assert_allclose(np.asarray(zs_k), np.asarray(zs_x), rtol=tol, atol=tol)
+        np.testing.assert_allclose(np.asarray(us_k), np.asarray(us_x), rtol=tol, atol=tol)
+        np.testing.assert_allclose(float(new_cost), float(cost_x), rtol=10 * tol)
+
+    def test_full_solve_matches_xla(self, stack):
+        dtype = jnp.float32
+        model = _cast(stack, dtype)
+        # small budget: interpreter mode executes op-by-op on host
+        cfg_x = SolverConfig(horizon=10, al_iters=1, ilqr_iters=2, backend="xla")
+        cfg_p = SolverConfig(horizon=10, al_iters=1, ilqr_iters=2, backend="interpret")
+        p = OCPParams.reference(dtype, lateral_margin=0.05)
+        z0, _, us, lams = _inputs(model, dtype, cfg_x, p)
+        r_x = S.solve(model, p, cfg_x, z0, us, lams)
+        r_p = S.solve(model, p, cfg_p, z0, us, lams)
+        np.testing.assert_allclose(np.asarray(r_p.us), np.asarray(r_x.us), rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(float(r_p.cost), float(r_x.cost), rtol=1e-4)
+
+    def test_table_lookup_matches_uinterp(self, stack):
+        """The kernel's two-hot interpolation must equal MPCTrack._uinterp."""
+        model = stack
+        dtype = jnp.float64
+        tables = PK.tables_matrix(model, dtype)
+        track = model.track
+        n = track.s_grid.shape[0]
+        s = jnp.asarray(np.linspace(-10.0, 2.0 * float(track.s_max), 97), dtype)
+        ref = track.curvature(s)
+
+        got = PK._lookup(
+            tables[0:1],
+            s[:, None],
+            jnp.asarray(track.s_max, dtype),
+            jnp.asarray((n - 1) / track.s_max, dtype),
+            n,
+        )[:, 0]
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-9, atol=1e-12)
