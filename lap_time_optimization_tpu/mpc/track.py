@@ -56,12 +56,15 @@ class MPCTrack:
         """Piecewise-linear lookup on the UNIFORM arc grid: direct index
         arithmetic (one gather) instead of jnp.interp's binary search — these
         lookups sit inside every dynamics/constraint evaluation of the NMPC
-        hot loop."""
+        hot loop.  The cell index is clipped to [0, n-2] as an integer (an
+        epsilon shaved off a float upper bound would round away in f32 for
+        large tables) and frac to [0, 1], so the lookup is exact and
+        in-bounds at both table edges in any dtype."""
         n = self.s_grid.shape[0]
         inv_ds = (n - 1) / self.s_max
-        t = jnp.clip(self._wrap(s) * inv_ds, 0.0, n - 1 - 1e-6)
-        i = jnp.floor(t).astype(jnp.int32)
-        frac = t - i
+        t = self._wrap(s) * inv_ds
+        i = jnp.clip(jnp.floor(t).astype(jnp.int32), 0, n - 2)
+        frac = jnp.clip(t - i, 0.0, 1.0)
         return vals[i] * (1.0 - frac) + vals[i + 1] * frac
 
     def curvature(self, s):

@@ -296,7 +296,12 @@ def _kernel(
         luu = luu_ref[pl.ds(k, 1)][0]
         luz = luz_ref[pl.ds(k, 1)][0]
 
-        dot = functools.partial(jnp.dot, preferred_element_type=dtype)
+        # HIGHEST: Mosaic's default f32 matmul truncates inputs to bf16
+        # (observed as 1/128-quantized trajectories); the Riccati recursion
+        # needs full f32.
+        dot = functools.partial(
+            jnp.dot, preferred_element_type=dtype, precision=jax.lax.Precision.HIGHEST
+        )
         VzA = dot(Vz, A)               # (1, NZ)
         VzB = dot(Vz, Bm)              # (1, NU)
         VzzA = dot(Vzz, A)             # (NZ, NZ)
@@ -355,7 +360,8 @@ def _kernel(
         lam_k = lams_ref[pl.ds(k, 1)]           # (1, N_CON)
         dz = z - z_ref_k                        # (L, NZ)
         u = u_ref_k + alphas * k_k + jnp.dot(
-            dz, K_k.T, preferred_element_type=dtype
+            dz, K_k.T, preferred_element_type=dtype,
+            precision=jax.lax.Precision.HIGHEST,
         )                                       # (L, NU)
         cacc_s[:] += _al_stage_cost(z, u, lam_k, tables, scal, n_table, trig)
         z_next = _dyn_step(z, u, tables, scal, n_table, substeps, trig)
@@ -379,13 +385,15 @@ def _kernel(
     cost_out[:] = best_cost
 
     def select_body(k, _):
+        # elementwise masked reduction, NOT a dot: MXU matmuls would round
+        # the selected trajectory through bf16
         zk = zall_s[pl.ds(k, 1)][0]             # (L, NZ)
-        zs_out[pl.ds(k, 1)] = jnp.dot(onehot, zk, preferred_element_type=dtype)
+        zs_out[pl.ds(k, 1)] = jnp.sum(onehot.T * zk, axis=0, keepdims=True)
 
         @pl.when(k < N)
         def _():
             uk = uall_s[pl.ds(k, 1)][0]         # (L, NU)
-            us_out[pl.ds(k, 1)] = jnp.dot(onehot, uk, preferred_element_type=dtype)
+            us_out[pl.ds(k, 1)] = jnp.sum(onehot.T * uk, axis=0, keepdims=True)
 
         return 0
 

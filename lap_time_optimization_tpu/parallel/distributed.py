@@ -8,8 +8,11 @@ code (`parallel.mesh`) — per-host process boundaries are invisible to the
 program, XLA routes dp collectives over ICI within a slice and DCN across
 slices.
 
-This module is exercised single-host in CI (it degrades to a local mesh);
-multi-host behavior follows the standard jax.distributed contract.
+Coverage honesty: only the single-process no-op path is exercised by tests
+(tests/test_parallel.py) — this environment has one host and one chip.  The
+multi-host path is contract-only: it forwards to `jax.distributed.initialize`
+and builds the mesh from `jax.devices()`, which is the standard recipe, but
+no CI here has ever run it across ≥2 real hosts.
 """
 
 from __future__ import annotations
