@@ -324,14 +324,11 @@ def _quads_gauss_newton(model, p, z, u, lam, rho):
     two Hessians + a mixed Jacobian."""
     zu = jnp.concatenate([z, u])
 
-    def res(zu_):
-        return stage_residuals(model, p, zu_[:NZ], zu_[NZ:])
+    def res_cons(zu_):
+        zz, uu = zu_[:NZ], zu_[NZ:]
+        return stage_residuals(model, p, zz, uu), tightened_constraints(model, p, zz, uu)
 
-    def cons(zu_):
-        return tightened_constraints(model, p, zu_[:NZ], zu_[NZ:])
-
-    r, Jr = res(zu), jax.jacfwd(res)(zu)  # (N_RES,), (N_RES, NZ+NU)
-    g, Jg = cons(zu), jax.jacfwd(cons)(zu)  # (N_CON,), (N_CON, NZ+NU)
+    (r, g), (Jr, Jg) = res_cons(zu), jax.jacfwd(res_cons)(zu)
     phi = jnp.maximum(0.0, lam + rho * g)
     act = jnp.where(phi > 0.0, rho, 0.0)
     grad = 2.0 * Jr.T @ r + Jg.T @ phi
@@ -366,12 +363,7 @@ def _terminal_quads_gauss_newton(model, p, z, lam, rho):
 def _backward_pass(model, p, cfg, zs, us, lams, rho, reg):
     """Riccati sweep on the AL cost; returns feedforward k and feedback K."""
     # linearize dynamics and quadraticize cost along the trajectory (vmapped)
-    A = jax.vmap(lambda z, u: jax.jacfwd(lambda zz: dynamics_step(model, cfg, zz, u))(z))(
-        zs[:-1], us
-    )
-    B = jax.vmap(lambda z, u: jax.jacfwd(lambda uu: dynamics_step(model, cfg, z, uu))(u))(
-        zs[:-1], us
-    )
+    A, B = _linearize_joint(model, cfg, zs, us)
 
     if cfg.hessian_mode == "gauss_newton":
         lz, lu, lzz, luu, luz = jax.vmap(
@@ -461,6 +453,20 @@ def _iterate_xla(model, p, cfg, zs, us, lams, rho, reg):
     return new_cost, zs_new, us_new, diverged
 
 
+def _linearize_joint(model, cfg, zs, us):
+    """(A, B) for every stage from ONE forward-mode Jacobian over the
+    concatenated (z, u) input — a single traced RK4 chain with NZ+NU
+    tangents instead of two chains (one per argument)."""
+
+    def step_zu(zu):
+        return dynamics_step(model, cfg, zu[:NZ], zu[NZ:])
+
+    J = jax.vmap(lambda z, u: jax.jacfwd(step_zu)(jnp.concatenate([z, u])))(
+        zs[:-1], us
+    )  # (N, NZ, NZ+NU)
+    return J[:, :, :NZ], J[:, :, NZ:]
+
+
 def _iterate_pallas(model, p, cfg, zs, us, lams, rho, reg, interpret: bool):
     """One iLQR iteration with the fused VMEM-resident kernel:
     linearization + GN quadraticization stay in XLA (stage-parallel), the
@@ -468,12 +474,7 @@ def _iterate_pallas(model, p, cfg, zs, us, lams, rho, reg, interpret: bool):
     from lap_time_optimization_tpu.ops import pallas_ilqr as PK
 
     dtype = zs.dtype
-    A = jax.vmap(lambda z, u: jax.jacfwd(lambda zz: dynamics_step(model, cfg, zz, u))(z))(
-        zs[:-1], us
-    )
-    B = jax.vmap(lambda z, u: jax.jacfwd(lambda uu: dynamics_step(model, cfg, z, uu))(u))(
-        zs[:-1], us
-    )
+    A, B = _linearize_joint(model, cfg, zs, us)
     lz, lu, lzz, luu, luz = jax.vmap(
         lambda z, u, lam: _quads_gauss_newton(model, p, z, u, lam, rho)
     )(zs[:-1], us, lams[:-1])
