@@ -4,8 +4,8 @@ Reproduces every published column of the reference's results tables
 (reference README.md:119-134: buckmore, width 0.99, tbr18 + MX5) with this
 framework's methods and writes `benchmarks/parity_matrix.json` holding
 {lap_time, run_time, length, max_v, mean_v} per column next to the published
-numbers. The slow-tier test `tests/test_parity_matrix.py` asserts every
-column at published*1.01.
+numbers. The slow-tier tests (tests/test_racing_line.py, tests/test_gp.py)
+assert every column at published*1.01.
 
 Usage: python benchmarks/run_parity_matrix.py [--platform cpu] [--x64]
 """

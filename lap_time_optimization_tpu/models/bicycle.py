@@ -51,6 +51,11 @@ class BicycleModel:
     vehicle: PacejkaVehicle
     track: MPCTrack
     enable_torque_vectoring: bool = dataclasses.field(metadata=dict(static=True), default=False)
+    # Adds the friction-ellipse rows to the solver's constraint set
+    # (src/mpc/controller.py:72-74 defines-but-disables them; here the
+    # *corrected* physical form is actually enforceable — see
+    # `traction_ellipse_physical`).
+    enable_traction_ellipse: bool = dataclasses.field(metadata=dict(static=True), default=False)
 
     # ------------------------------------------------------------ tire model
     def slip_angles(self, vx, vy, r, delta):
@@ -141,6 +146,33 @@ class BicycleModel:
         Df = alpha * veh.D_f
         Dr = alpha * veh.D_r
         return longf**2 + Fy_f**2 - Df**2, longf**2 + Fy_r**2 - Dr**2
+
+    def traction_ellipse_physical(self, throttle, vx, vy, r, delta, rho=1.0, alpha=1.0):
+        """Dimensionally consistent friction-ellipse residuals ≤ 0.
+
+        The reference's version (kept verbatim in `traction_ellipse`)
+        compares squared tire forces in N² against the *normalized* Pacejka
+        peak D² ≈ 1 — unsatisfiable by ~6 orders of magnitude, which is why
+        it stayed commented out (src/mpc/model.py:86-99, src/mpc/controller.py:72-74).
+        Here the peak force is D·Fn (the actual Pacejka maximum with the
+        static load split) and the residual is normalized by (α·D·Fn)², so
+        active constraints are O(1) for the augmented Lagrangian:
+
+            g = ((ρ·Fx/2)² + Fy² − (α·D·Fn)²) / (α·D·Fn)²  ≤ 0
+        """
+        veh = self.vehicle
+        wheelbase = veh.length_f + veh.length_r
+        Fn_f = veh.length_r * veh.mass * GRAV / wheelbase
+        Fn_r = veh.length_f * veh.mass * GRAV / wheelbase
+        longf = rho * 0.5 * self.motor_force(throttle)
+        af, ar = self.slip_angles(vx, vy, r, delta)
+        Fy_f, Fy_r = self.lateral_forces(af, ar)
+        cap_f = (alpha * veh.D_f * Fn_f) ** 2
+        cap_r = (alpha * veh.D_r * Fn_r) ** 2
+        return (
+            (longf**2 + Fy_f**2 - cap_f) / cap_f,
+            (longf**2 + Fy_r**2 - cap_r) / cap_r,
+        )
 
     def beta_cost(self, x: jax.Array, q_B) -> jax.Array:
         """Kinematic/dynamic side-slip consistency cost B(q_B)

@@ -20,7 +20,7 @@ import numpy as np
 
 from lap_time_optimization_tpu.models.bicycle import NU, BicycleModel
 from lap_time_optimization_tpu.mpc import solver as solver_mod
-from lap_time_optimization_tpu.mpc.solver import N_CON, OCPParams, SolverConfig
+from lap_time_optimization_tpu.mpc.solver import OCPParams, SolverConfig, n_con
 
 #: Reference initial state [s, n, mu, vx, vy, r, steer, throttle]
 #: (src/mpc.py:107-110)
@@ -47,7 +47,7 @@ def closed_loop(
     dtype = x0.dtype
     N = cfg.horizon
     us_warm = jnp.zeros((N, NU), dtype)
-    lam_warm = jnp.zeros((N + 1, N_CON), dtype)
+    lam_warm = jnp.zeros((N + 1, n_con(model)), dtype)
     u_prev = jnp.zeros((NU,), dtype)
 
     # presolve: burn in the warm start at t=0 so the first applied control

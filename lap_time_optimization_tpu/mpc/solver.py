@@ -43,7 +43,21 @@ from lap_time_optimization_tpu.models.bicycle import (
 )
 
 NZ = NX + NU  # augmented state: model state + previous input
-N_CON = 14  # inequality constraints per stage (see `constraints`)
+N_CON = 14  # stage inequality count for the default model (see `constraints`)
+
+
+def n_con(model) -> int:
+    """Stage inequality count: 14, +2 friction-ellipse rows when the model
+    enables them (the warm-start multiplier buffers must match)."""
+    return N_CON + 2 if getattr(model, "enable_traction_ellipse", False) else N_CON
+
+
+def _state_row_mask(n: int):
+    """Mask of constraint rows that are pure STATE constraints (apply at
+    the terminal stage too): the first 10 box/lateral rows and the
+    friction-ellipse rows (14+); rows 10-13 are input boxes."""
+    idx = jnp.arange(n)
+    return (idx < 10) | (idx >= 14)
 
 
 @jax.tree_util.register_dataclass
@@ -236,6 +250,17 @@ def _constraints(model, p, z, u, lateral_margin) -> jax.Array:
     left, right = model.lateral_constraints(x[IDX_S], x[IDX_N], x[IDX_MU])
     left = left + lateral_margin
     right = right + lateral_margin
+    rows = _box_rows(model, p, z, u, left, right)
+    if getattr(model, "enable_traction_ellipse", False):
+        ef, er = model.traction_ellipse_physical(
+            x[IDX_THROTTLE], x[IDX_VX], x[IDX_VY], x[5], x[IDX_DELTA]
+        )
+        rows = jnp.concatenate([rows, jnp.stack([ef, er])])
+    return rows
+
+
+def _box_rows(model, p, z, u, left, right) -> jax.Array:
+    x = z[:NX]
     return jnp.stack(
         [
             left,
@@ -270,8 +295,7 @@ def al_terminal_cost(model, p, z, lam, rho):
     # terminal constraints: state rows only (inputs don't exist at stage N);
     # reuse the stage constraint vector with u = 0 and mask the input rows.
     g = tightened_constraints(model, p, z, jnp.zeros((NU,), z.dtype))
-    mask = jnp.arange(N_CON) < 10
-    g = jnp.where(mask, g, -1.0)
+    g = jnp.where(_state_row_mask(g.shape[0]), g, -1.0)
     return terminal_cost(model, p, z) + _al_penalty(g, lam, rho)
 
 
@@ -299,7 +323,8 @@ def _true_cost(model, p, zs, us):
 
 def _max_violation(model, p, zs, us):
     g = jax.vmap(lambda z, u: constraints(model, p, z, u))(zs[:-1], us)
-    g_term = constraints(model, p, zs[-1], jnp.zeros((NU,), zs.dtype))[:10]
+    g_term = constraints(model, p, zs[-1], jnp.zeros((NU,), zs.dtype))
+    g_term = jnp.where(_state_row_mask(g_term.shape[0]), g_term, -jnp.inf)
     return jnp.maximum(jnp.max(g), jnp.max(g_term))
 
 
@@ -349,7 +374,7 @@ def _terminal_quads_gauss_newton(model, p, z, lam, rho):
 
     def cons(zz):
         g = tightened_constraints(model, p, zz, u0)
-        return jnp.where(jnp.arange(N_CON) < 10, g, -1.0)
+        return jnp.where(_state_row_mask(g.shape[0]), g, -1.0)
 
     r, Jr = res(z), jax.jacfwd(res)(z)
     g, Jg = cons(z), jax.jacfwd(cons)(z)
@@ -509,6 +534,10 @@ def solve(
     backend = _resolved_backend(cfg)
     if backend in ("pallas", "interpret") and cfg.hessian_mode != "gauss_newton":
         raise ValueError("the fused Pallas backend requires hessian_mode='gauss_newton'")
+    if getattr(model, "enable_traction_ellipse", False) and backend in ("pallas", "interpret"):
+        # the fused kernel is specialized to the 14-row constraint set;
+        # the ellipse-enabled model runs on the XLA scan path
+        backend = "xla"
     if backend in ("pallas", "interpret"):
         iterate = partial(_iterate_pallas, interpret=(backend == "interpret"))
     else:
@@ -540,7 +569,7 @@ def solve(
         # multiplier + penalty update (on the tightened band the AL optimizes)
         g_stage = jax.vmap(lambda z, u: tightened_constraints(model, p, z, u))(zs[:-1], us)
         g_term = tightened_constraints(model, p, zs[-1], jnp.zeros((NU,), dtype))
-        g_term = jnp.where(jnp.arange(N_CON) < 10, g_term, -1.0)
+        g_term = jnp.where(_state_row_mask(g_term.shape[0]), g_term, -1.0)
         g_all = jnp.concatenate([g_stage, g_term[None]], axis=0)
         lams = jnp.maximum(0.0, lams + rho * g_all)
         rho = rho * cfg.rho_scale

@@ -102,6 +102,45 @@ class TestTractionEllipse:
         assert float(g_hi[0]) > float(g_lo[0])
         assert float(g_hi[1]) > float(g_lo[1])
 
+    def test_physical_form_is_satisfiable(self, track, mx5):
+        """The reference's form compares N² forces against the normalized
+        D² ≈ 1 (unsatisfiable — why it stayed disabled); the corrected
+        physical form must be satisfied at gentle driving and violated at
+        a full-lock aggressive state."""
+        model = BicycleModel(vehicle=mx5, track=track)
+        gf, gr = model.traction_ellipse_physical(0.2, 8.0, 0.0, 0.0, 0.0)
+        assert float(gf) < 0.0 and float(gr) < 0.0
+        # at the Pacejka peak slip (C·atan(B·α) = π/2 → α ≈ 0.265 for the
+        # front tire) the lateral force saturates the capacity exactly, so
+        # any drive force pushes the ellipse positive
+        gf2, _ = model.traction_ellipse_physical(1.0, 10.0, 2.71, 0.0, 0.0)
+        assert float(gf2) > 0.0
+        # the reference's raw form is indeed hopeless at the same gentle state
+        raw_f, _ = model.traction_ellipse(0.2, 8.0, 0.0, 0.0, 0.0)
+        assert float(raw_f) > 1e3
+
+
+class TestTractionEllipseInSolver:
+    def test_solver_enforces_ellipse(self, track, mx5):
+        """enable_traction_ellipse=True adds 2 rows to the constraint set and
+        the closed loop keeps the applied states inside the (normalized)
+        ellipse (VERDICT r1: implement the intended-but-disabled feature
+        properly behind a flag)."""
+        from lap_time_optimization_tpu.mpc import runner, solver as S
+
+        model = BicycleModel(vehicle=mx5, track=track, enable_traction_ellipse=True)
+        assert S.n_con(model) == 16
+        p = S.OCPParams.reference(jnp.float64, lateral_margin=0.05)
+        cfg = S.SolverConfig(horizon=10)  # pallas/interpret auto-falls back to xla
+        x0 = jnp.asarray(runner.X0_REFERENCE, jnp.float64)
+        sim = runner.closed_loop(model, p, cfg, x0, 15)
+        xs = np.asarray(sim.xs)
+        gf, gr = model.traction_ellipse_physical(
+            xs[1:, 7], xs[1:, 3], xs[1:, 4], xs[1:, 5], xs[1:, 6]
+        )
+        assert float(jnp.max(gf)) < 1e-2 and float(jnp.max(gr)) < 1e-2
+        assert xs[-1, 0] > 5.0  # still makes progress
+
 
 class TestConfig:
     def test_defaults_are_reference_constants(self):

@@ -317,6 +317,33 @@ class TestHorizon20:
 
 
 @pytest.mark.slow
+class TestSecondTrack:
+    def test_closed_loop_on_clay(self, mx5):
+        """The NMPC stack is not buckmore-specific: build tables from the
+        shipped clay artifact set and run the closed loop (robustness gate;
+        the reference only ever ran its MPC on buckmore)."""
+        repo_data = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "data")
+        d = os.path.join(repo_data, "plots", "MX-5", "clay", "curvature")
+        if not os.path.isdir(d):
+            pytest.skip("shipped clay artifacts not available")
+        clay = mpc_track.load("MX-5", "clay", "curvature", base_dir=repo_data)
+        model = BicycleModel(vehicle=mx5, track=clay)
+        p = OCPParams.reference(jnp.float64, lateral_margin=0.05)
+        cfg = SolverConfig(horizon=10)
+        x0 = jnp.asarray(runner.X0_REFERENCE, jnp.float64)
+        sim = runner.closed_loop(model, p, cfg, x0, 60)
+        xs, us = sim.xs, sim.us
+        s = np.asarray(xs[:, 0])
+        assert np.all(np.diff(s) > 0) and s[-1] > 30.0
+        g = jax.vmap(
+            lambda x, u: solver_mod.constraints(
+                model, p, jnp.concatenate([x, jnp.zeros(2)]), u
+            )
+        )(xs[1:], us[1:])
+        assert float(jnp.max(g)) < 1e-2
+
+
+@pytest.mark.slow
 class TestBatchedClosedLoop:
     def test_batch_equals_single(self, model):
         p = OCPParams.reference(jnp.float64)
