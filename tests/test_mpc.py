@@ -317,6 +317,24 @@ class TestHorizon20:
 
 
 @pytest.mark.slow
+class TestFullLap:
+    def test_completes_a_lap(self, model):
+        """Closed loop must CROSS the start line (the reference never got
+        near this — 'hours of runtime for seconds of sim').  950 steps at
+        dt=0.1 on the reference artifacts; progress strictly monotone, lap
+        length covered, heading stays attached (no spin)."""
+        p = OCPParams.reference(jnp.float64, lateral_margin=0.05)
+        cfg = SolverConfig(horizon=10)
+        x0 = jnp.asarray(runner.X0_REFERENCE)
+        sim = runner.closed_loop(model, p, cfg, x0, 950)
+        xs = np.asarray(sim.xs)
+        s = xs[:, 0]
+        assert np.all(np.diff(s) > 0)
+        assert s[-1] > float(model.track.s_max)
+        assert np.abs(xs[:, 2]).max() < 0.5  # never comes close to spinning
+
+
+@pytest.mark.slow
 class TestSecondTrack:
     def test_closed_loop_on_clay(self, mx5):
         """The NMPC stack is not buckmore-specific: build tables from the
