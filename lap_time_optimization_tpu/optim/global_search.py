@@ -182,6 +182,7 @@ def bayesian(
     checkpoint_path: str | None = None,
     polish_every: int = 1,
     polish_iters: int = 200,
+    heartbeat_path: str | None = None,
 ):
     """GP-guided global search with true-objective acquisition (vs tbn.py:120-205).
 
@@ -198,7 +199,9 @@ def bayesian(
     every round and interrupted runs resume exactly (SURVEY.md §5
     checkpoint/resume plan — the reference has no persistence at all)."""
     from lap_time_optimization_tpu.utils import checkpoint as ckpt
+    from lap_time_optimization_tpu.utils.profiling import Heartbeat
 
+    hb = Heartbeat(heartbeat_path)
     key = jax.random.PRNGKey(seed)
     d = track.n_decongested
     dtype = track.left.dtype
@@ -244,6 +247,8 @@ def bayesian(
         x_data = x_data.at[count].set(w_star)
         y_data = y_data.at[count].set(times[j])
         count += 1
+        if heartbeat_path:
+            hb.beat(rounds, best=float(jnp.min(y_data)), n_samples=count)
         if checkpoint_path:
             ckpt.save(
                 checkpoint_path,

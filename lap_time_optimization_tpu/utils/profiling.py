@@ -68,3 +68,30 @@ def trace(logdir: str | None):
 
 def log_metrics(stream=None, **metrics) -> None:
     print(json.dumps({"metrics": metrics}), file=stream or sys.stdout, flush=True)
+
+
+class Heartbeat:
+    """Liveness surface for long-running searches (SURVEY.md §5 failure
+    detection): writes a one-line JSON heartbeat — monotonically increasing
+    round counter, wall time, best objective — to a file (atomic replace)
+    and optionally stdout.  An external watchdog declares the run stalled
+    when the file's mtime stops advancing; combined with the per-round
+    checkpoints (utils/checkpoint.py) this gives detect + resume."""
+
+    def __init__(self, path: str | None = None, echo: bool = False):
+        self.path = path
+        self.echo = echo
+        self.t0 = time.time()
+
+    def beat(self, round_idx: int, **fields) -> None:
+        record = {"heartbeat": {"round": round_idx, "wall_s": round(time.time() - self.t0, 3), **fields}}
+        line = json.dumps(record)
+        if self.echo:
+            print(line, flush=True)
+        if self.path:
+            import os
+
+            tmp = self.path + ".tmp"
+            with open(tmp, "w") as f:
+                f.write(line + "\n")
+            os.replace(tmp, self.path)

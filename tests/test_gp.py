@@ -94,18 +94,24 @@ class TestGlobalSearch:
         _, best_f, _ = global_search.bayesian(buckmore99, mx5, seed=0)
         assert best_f < 48.056 * 1.01
 
-    def test_bayesian_small_budget_converges(self, buckmore, tbr18):
-        """Budget-override smoke: the σ-based stop rule with tiny budgets."""
+    def test_bayesian_small_budget_converges(self, buckmore, tbr18, tmp_path):
+        """Budget-override smoke: the σ-based stop rule with tiny budgets,
+        plus the liveness heartbeat surface (SURVEY §5 failure detection)."""
+        import json
+
         from lap_time_optimization_tpu.optim import global_search
 
+        hb = str(tmp_path / "bo_heartbeat.json")
         best_x, best_f, info = global_search.bayesian(
             buckmore, tbr18, seed=0, n_init=6, n_local=16, n_uniform=16,
             max_rounds=6, min_samples=5, sigma_window=4, polish_every=3,
-            polish_iters=60,
+            polish_iters=60, heartbeat_path=hb,
         )
         assert best_f < 42.0
         assert info["rounds"] <= 6
         assert len(info["sigma_history"]) == info["rounds"]
+        beat = json.load(open(hb))["heartbeat"]
+        assert beat["round"] == info["rounds"] and beat["best"] <= 42.0
 
 
 class TestPaddedFit:
