@@ -193,6 +193,8 @@ def bayesian(
     refinement of the incumbent (tbn.py:117) becomes a 200-iteration
     projected-L-BFGS polish with exact gradients EVERY round.  Measured:
     36.249 s at seed 0 (x64), within 0.1% of the published result.
+    (120 iterations reproduces tbr18 at 36.247 in 197 s but leaves the MX5
+    run's sigma stop-rule untripped for far longer — kept at 200.)
 
     Returns (best_alphas_dec, best_lap_time, info dict).  When
     `checkpoint_path` is given, the (X, y, σ-history, key) state is persisted
