@@ -49,6 +49,10 @@ def build_parser():
     p.add_argument("--vref-scale", type=float, default=None,
                    help="fraction of the racing-line velocity profile to track "
                         "(the reference hardcodes 0.6, src/mpc/controller.py:53)")
+    p.add_argument("--vref-preview", type=float, default=None, metavar="DECEL",
+                   help="braking-curve preview budget [m/s^2] baked into the vref "
+                        "table so short horizons see corner braking points early "
+                        "(mpc/track.with_brake_preview); 0 = off")
     p.add_argument("--platform", type=str, default=None,
                    help="force a JAX backend (e.g. cpu, tpu); overrides plugin auto-selection")
     p.add_argument("--x64", action="store_true",
@@ -70,6 +74,8 @@ def effective_config(args):
         m = dataclasses.replace(m, dt=args.dt)
     if args.vref_scale is not None:
         m = dataclasses.replace(m, vref_scale=args.vref_scale)
+    if getattr(args, "vref_preview", None) is not None:
+        m = dataclasses.replace(m, vref_preview_decel=args.vref_preview)
     return dataclasses.replace(cfg, mpc=m)
 
 
@@ -107,6 +113,12 @@ def main(argv=None):
 
     conf = effective_config(args)
     mc = conf.mpc
+    if mc.vref_preview_decel > 0.0:
+        track = mpc_track.with_brake_preview(
+            track, mc.vref_preview_decel, vref_scale=mc.vref_scale
+        )
+        model = dataclasses.replace(model, track=track)
+        print(f"[ vref brake preview: {mc.vref_preview_decel:.2f} m/s^2 budget ]")
     dtype = track.s_grid.dtype
     a = lambda v: jnp.asarray(v, dtype)
     p = dataclasses.replace(

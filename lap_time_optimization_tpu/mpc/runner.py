@@ -35,6 +35,48 @@ class SimResult(NamedTuple):
     sdot: jax.Array  # (steps,) track progress rate per step
 
 
+def _presolve(model, p, cfg, x0):
+    """Burn in the t=0 warm start (do_mpc's set_initial_guess analogue,
+    reference src/mpc.py:118) and return the initial scan carry."""
+    dtype = x0.dtype
+    N = cfg.horizon
+    us_warm = jnp.zeros((N, NU), dtype)
+    lam_warm = jnp.zeros((N + 1, n_con(model)), dtype)
+    u_prev = jnp.zeros((NU,), dtype)
+    z0_init = jnp.concatenate([x0, u_prev])
+    for _ in range(2):
+        warm = solver_mod.solve(model, p, cfg, z0_init, us_warm, lam_warm)
+        us_warm, lam_warm = warm.us, warm.lam
+    return (x0, us_warm, lam_warm, u_prev)
+
+
+def _step_fn(model, p, cfg, carry, _):
+    """One control cycle: solve, clip the applied input, integrate the plant,
+    shift the warm start."""
+    x, us_warm, lam_warm, u_prev = carry
+    z0 = jnp.concatenate([x, u_prev])
+    res = solver_mod.solve(model, p, cfg, z0, us_warm, lam_warm)
+    # actuator saturation: the AL solver leaves O(1e-2) slack on the
+    # input/actuator boxes at fixed iteration budgets; the physical
+    # actuators (and the reference's hard NLP bounds,
+    # src/mpc/controller.py:79-103) cannot exceed them, so the APPLIED
+    # input is clipped to the rate limits AND so the (exactly
+    # integrated) steer/throttle states stay inside their boxes.
+    rate_lim = jnp.stack([p.dsteer_max, p.dthrottle_max])
+    box = jnp.stack([p.steer_max, p.throttle_max])
+    act = jnp.stack([x[6], x[7]])
+    lo = jnp.maximum(-rate_lim, (-box - act) / cfg.dt)
+    hi = jnp.minimum(rate_lim, (box - act) / cfg.dt)
+    u0 = jnp.clip(res.us[0], lo, hi)
+    x_next = model.step(x, u0, cfg.dt, substeps=cfg.substeps)
+    # shift warm starts one stage forward
+    us_next = jnp.concatenate([res.us[1:], res.us[-1:]], axis=0)
+    lam_next = jnp.concatenate([res.lam[1:], res.lam[-1:]], axis=0)
+    sdot = (x_next[0] - x[0]) / cfg.dt
+    out = (x_next, u0, res.cost, res.max_violation, sdot)
+    return (x_next, us_next, lam_next, u0), out
+
+
 @partial(jax.jit, static_argnames=("cfg", "steps"))
 def closed_loop(
     model: BicycleModel,
@@ -45,49 +87,65 @@ def closed_loop(
 ) -> SimResult:
     """Run `steps` control cycles from x0; everything stays on device."""
     dtype = x0.dtype
-    N = cfg.horizon
-    us_warm = jnp.zeros((N, NU), dtype)
-    lam_warm = jnp.zeros((N + 1, n_con(model)), dtype)
-    u_prev = jnp.zeros((NU,), dtype)
-
-    # presolve: burn in the warm start at t=0 so the first applied control
-    # doesn't carry the cold-start transient (do_mpc's set_initial_guess
-    # analogue, reference src/mpc.py:118)
-    z0_init = jnp.concatenate([x0, u_prev])
-    for _ in range(2):
-        warm = solver_mod.solve(model, p, cfg, z0_init, us_warm, lam_warm)
-        us_warm, lam_warm = warm.us, warm.lam
-
-    def step_fn(carry, _):
-        x, us_warm, lam_warm, u_prev = carry
-        z0 = jnp.concatenate([x, u_prev])
-        res = solver_mod.solve(model, p, cfg, z0, us_warm, lam_warm)
-        # actuator saturation: the AL solver leaves O(1e-2) slack on the
-        # input/actuator boxes at fixed iteration budgets; the physical
-        # actuators (and the reference's hard NLP bounds,
-        # src/mpc/controller.py:79-103) cannot exceed them, so the APPLIED
-        # input is clipped to the rate limits AND so the (exactly
-        # integrated) steer/throttle states stay inside their boxes.
-        rate_lim = jnp.stack([p.dsteer_max, p.dthrottle_max])
-        box = jnp.stack([p.steer_max, p.throttle_max])
-        act = jnp.stack([x[6], x[7]])
-        lo = jnp.maximum(-rate_lim, (-box - act) / cfg.dt)
-        hi = jnp.minimum(rate_lim, (box - act) / cfg.dt)
-        u0 = jnp.clip(res.us[0], lo, hi)
-        x_next = model.step(x, u0, cfg.dt, substeps=cfg.substeps)
-        # shift warm starts one stage forward
-        us_next = jnp.concatenate([res.us[1:], res.us[-1:]], axis=0)
-        lam_next = jnp.concatenate([res.lam[1:], res.lam[-1:]], axis=0)
-        sdot = (x_next[0] - x[0]) / cfg.dt
-        out = (x_next, u0, res.cost, res.max_violation, sdot)
-        return (x_next, us_next, lam_next, u0), out
-
+    carry0 = _presolve(model, p, cfg, x0)
     (_, _, _, _), (xs, us, costs, viols, sdots) = jax.lax.scan(
-        step_fn, (x0, us_warm, lam_warm, u_prev), None, length=steps
+        partial(_step_fn, model, p, cfg), carry0, None, length=steps
     )
     xs_full = jnp.concatenate([x0[None], xs], axis=0)
     us_full = jnp.concatenate([jnp.zeros((1, NU), dtype), us], axis=0)
     return SimResult(xs=xs_full, us=us_full, costs=costs, violations=viols, sdot=sdots)
+
+
+@partial(jax.jit, static_argnames=("cfg", "steps"))
+def _run_chunk(model, p, cfg, carry, steps: int):
+    return jax.lax.scan(partial(_step_fn, model, p, cfg), carry, None, length=steps)
+
+
+_presolve_jit = partial(jax.jit, static_argnames=("cfg",))(_presolve)
+
+
+def closed_loop_chunked(
+    model: BicycleModel,
+    p: OCPParams,
+    cfg: SolverConfig,
+    x0: jax.Array,
+    steps: int,
+    chunk: int = 100,
+) -> SimResult:
+    """`closed_loop` split into fixed-size device programs: the warm-start
+    carry crosses chunk boundaries on device, so the trajectory is IDENTICAL
+    to the single-scan version (tested bit-for-bit) while compile time stays
+    constant in `steps` — one `chunk`-step program compiled once, reused for
+    laps of any length.  Use this for long simulations on backends where
+    XLA compilation of a deep scan is expensive (the remote TPU compile
+    service scales with program size; a 950-step single-scan lap did not
+    finish compiling in 10 minutes, 100-step chunks compile in ~40 s total).
+    """
+    dtype = x0.dtype
+    carry = _presolve_jit(model, p, cfg, x0)
+    xs_l, us_l, costs_l, viols_l, sdots_l = [], [], [], [], []
+    done = 0
+    while done < steps:
+        n = min(chunk, steps - done)
+        # constant program shape: always run `chunk` steps, discard the tail
+        # of the final partial chunk on host
+        carry_next, (xs, us, costs, viols, sdots) = _run_chunk(model, p, cfg, carry, chunk)
+        if n < chunk:
+            xs, us, costs, viols, sdots = (
+                a[:n] for a in (xs, us, costs, viols, sdots)
+            )
+        else:
+            carry = carry_next
+        xs_l.append(xs); us_l.append(us); costs_l.append(costs)
+        viols_l.append(viols); sdots_l.append(sdots)
+        done += n
+    cat = lambda parts: jnp.concatenate(parts, axis=0)
+    xs_full = jnp.concatenate([x0[None], cat(xs_l)], axis=0)
+    us_full = jnp.concatenate([jnp.zeros((1, NU), dtype), cat(us_l)], axis=0)
+    return SimResult(
+        xs=xs_full, us=us_full,
+        costs=cat(costs_l), violations=cat(viols_l), sdot=cat(sdots_l),
+    )
 
 
 @partial(jax.jit, static_argnames=("cfg", "steps"))

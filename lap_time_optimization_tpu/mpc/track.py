@@ -137,6 +137,54 @@ def load(
     )
 
 
+def with_brake_preview(track: MPCTrack, a_brake: float, vref_scale: float = 1.0) -> MPCTrack:
+    """Return a copy of `track` whose vref table is the braking-curve
+    envelope of the original: the largest profile the car can actually track
+    given a physical deceleration budget `a_brake` [m/s²] on the TRACKED
+    target `vref_scale·vref`.
+
+    Why this exists: the racing-line vref artifact is brake-feasible for the
+    *racing-line* vehicle model (full-traction friction-circle braking, ~10+
+    m/s² — reference src/velocity.py:55-76), but the NMPC plant can only
+    brake at ≈ C_m·T/m ≈ 1 m/s² plus drag (reference src/mpc/model.py:160:
+    Fx = C_m·throttle − Cr0 − Cr2·vx², throttle ≥ −1).  A short horizon
+    (h=10 → 1 s lookahead) therefore cannot see corner-entry braking points
+    early enough, which is the measured f32 h10 marginality documented in
+    docs/PERFORMANCE.md.  The envelope
+
+        w̃(s) = min_{d ≥ 0} sqrt(w(s+d)² + 2·a_brake·d),   w = vref_scale·vref
+
+    moves braking information upstream into the table itself (a pure
+    build-time transform — zero solver cost), so the tracked target is
+    achievable under the budget regardless of horizon length.
+
+    This is exactly the velocity solver's deceleration pass
+    (ops/velocity.py) applied to the vref table with a constant decel bound.
+    `a_brake = inf` (or ≤ 0) returns the track unchanged.  Because the
+    stage cost tracks `vref_scale·vref`, the envelope is computed on the
+    scaled profile and divided back out, i.e. the stored table satisfies
+        (vref_scale·ṽ)²[i] ≤ (vref_scale·ṽ)²[i+1] + 2·a_brake·ds.
+    """
+    if not np.isfinite(a_brake) or a_brake <= 0.0:
+        return track
+    v = np.asarray(track.vref_vals, dtype=np.float64)
+    n = v.shape[0]
+    ds = float(track.s_max) / (n - 1)
+    # envelope on the scaled target == envelope on vref with a/scale²
+    a_eff = a_brake / (vref_scale * vref_scale)
+    w2 = v * v
+    # backward (anti-driving-direction) pass, twice around the closed lap so
+    # the wraparound braking point propagates across the start line
+    sweeps = 2 if track.closed else 1
+    for _ in range(sweeps):
+        for i in range(n - 2, -1, -1):
+            w2[i] = min(w2[i], w2[i + 1] + 2.0 * a_eff * ds)
+        if track.closed:
+            # stitch the lap seam: sample 0 and n-1 are the same point
+            w2[-1] = min(w2[-1], w2[0])
+    return dataclasses.replace(track, vref_vals=jnp.asarray(np.sqrt(w2), track.vref_vals.dtype))
+
+
 def build(path_pts, left_pts, right_pts, velocities, n_samples: int) -> MPCTrack:
     """Construct the lookup tables from raw point sets."""
     s_grid, path_xy, tangent, k, s_max = _resample_closed(np.asarray(path_pts), n_samples)

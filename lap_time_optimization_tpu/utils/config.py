@@ -81,6 +81,11 @@ class MPCConfig:
     # optimizes a band shrunk by this margin [m] so the fixed-iteration
     # real-time presets keep applied states strictly inside the true track.
     lateral_margin: float = 0.05
+    # Braking-curve preview budget [m/s²] applied to the vref table at build
+    # time (mpc/track.with_brake_preview); 0 = off = exact reference target.
+    # Recommended ≈ the plant's real decel authority (C_m·T/m ≈ 1.0 for MX5)
+    # when running short horizons (h ≤ 10) in f32.
+    vref_preview_decel: float = 0.0
 
 
 @dataclasses.dataclass

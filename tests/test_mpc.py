@@ -208,6 +208,78 @@ class TestClosedLoop:
             assert np.asarray(ref["x"]).shape == (26, NX, 1)
 
 
+class TestChunkedClosedLoop:
+    def test_chunked_equals_single_scan(self, model):
+        """`closed_loop_chunked` must be bit-identical to `closed_loop`:
+        the warm-start carry crosses chunk boundaries on device, so chunking
+        is purely a compile-time strategy (constant program size for laps of
+        any length), never a numerics change."""
+        p = OCPParams.reference(jnp.float64, lateral_margin=0.05)
+        cfg = SolverConfig(horizon=10)
+        x0 = jnp.asarray(runner.X0_REFERENCE)
+        single = runner.closed_loop(model, p, cfg, x0, 7)
+        chunked = runner.closed_loop_chunked(model, p, cfg, x0, 7, chunk=3)
+        for a, b in zip(single, chunked):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # exact multiple of the chunk size too
+        chunked = runner.closed_loop_chunked(model, p, cfg, x0, 6, chunk=3)
+        for a, b in zip(runner.closed_loop(model, p, cfg, x0, 6), chunked):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestBrakePreview:
+    """`mpc_track.with_brake_preview`: the braking-curve envelope baked into
+    the vref table so short horizons see corner braking points early (the
+    NMPC plant can only brake at ≈ C_m·T/m ≈ 1 m/s², reference
+    src/mpc/model.py:160, while the vref artifact assumes full-traction
+    braking, src/velocity.py:55-76)."""
+
+    A = 1.0  # physical decel budget on the tracked 0.6·vref target
+    SCALE = 0.6
+
+    def test_envelope_is_brake_feasible_and_below_original(self, track):
+        tr = mpc_track.with_brake_preview(track, self.A, vref_scale=self.SCALE)
+        v0 = np.asarray(track.vref_vals, np.float64)
+        v1 = np.asarray(tr.vref_vals, np.float64)
+        n = v1.shape[0]
+        ds = float(track.s_max) / (n - 1)
+        assert np.all(v1 <= v0 + 1e-9)
+        # tracked target w = SCALE*v satisfies w[i]^2 <= w[i+1]^2 + 2*A*ds,
+        # including across the closed-lap seam (sample n-1 == sample 0)
+        w2 = (self.SCALE * v1) ** 2
+        budget = 2.0 * self.A * ds + 1e-9
+        assert np.all(w2[:-1] - w2[1:] <= budget)
+        assert w2[-1] - w2[0] <= 1e-9
+        # the envelope binds somewhere (buckmore has real corners) but not
+        # everywhere (straights keep the original profile)
+        assert np.any(v1 < v0 - 1e-6)
+        assert np.any(np.abs(v1 - v0) < 1e-9)
+
+    def test_budget_monotonicity_and_identity(self, track):
+        loose = mpc_track.with_brake_preview(track, 4.0, vref_scale=self.SCALE)
+        tight = mpc_track.with_brake_preview(track, 0.5, vref_scale=self.SCALE)
+        assert np.all(
+            np.asarray(tight.vref_vals) <= np.asarray(loose.vref_vals) + 1e-9
+        )
+        # a <= 0 and a = inf are identity (no copy semantics guaranteed,
+        # values must match exactly)
+        same = mpc_track.with_brake_preview(track, 0.0)
+        np.testing.assert_array_equal(
+            np.asarray(same.vref_vals), np.asarray(track.vref_vals)
+        )
+        same = mpc_track.with_brake_preview(track, float("inf"))
+        np.testing.assert_array_equal(
+            np.asarray(same.vref_vals), np.asarray(track.vref_vals)
+        )
+
+    def test_only_vref_changes(self, track):
+        tr = mpc_track.with_brake_preview(track, self.A, vref_scale=self.SCALE)
+        np.testing.assert_array_equal(np.asarray(tr.k_vals), np.asarray(track.k_vals))
+        np.testing.assert_array_equal(np.asarray(tr.nl_vals), np.asarray(track.nl_vals))
+        np.testing.assert_array_equal(np.asarray(tr.nr_vals), np.asarray(track.nr_vals))
+        assert float(tr.s_max) == float(track.s_max)
+
+
 @pytest.mark.slow
 class TestRecordedTrace:
     """Numeric parity against the committed 25-step do_mpc/IPOPT recording
@@ -332,6 +404,32 @@ class TestFullLap:
         assert np.all(np.diff(s) > 0)
         assert s[-1] > float(model.track.s_max)
         assert np.abs(xs[:, 2]).max() < 0.5  # never comes close to spinning
+
+    def test_completes_a_lap_f32_h10_with_brake_preview(self, track, mx5):
+        """The f32/h10 configuration is MARGINAL with the raw vref table
+        (measured: the car loses it at the ~560 m corner entry — the 1 s
+        lookahead cannot see the braking point; docs/PERFORMANCE.md
+        'stability envelope').  With the braking-curve preview at the
+        plant's true decel authority (a = C_m·T/m = 1.0 m/s²,
+        reference src/mpc/model.py:160) the same configuration completes
+        the lap robustly: peak-rate h10 f32 becomes production-usable.
+        Uses the chunked driver (bit-identical to the single scan,
+        TestChunkedClosedLoop) so compile time stays bounded."""
+        import jax
+
+        tr = mpc_track.with_brake_preview(track, 1.0, vref_scale=0.6)
+        tr32 = jax.tree_util.tree_map(lambda a: jnp.asarray(a, jnp.float32), tr)
+        model32 = BicycleModel(vehicle=mx5, track=tr32)
+        p = OCPParams.reference(jnp.float32, lateral_margin=0.05)
+        cfg = SolverConfig(horizon=10)
+        x0 = jnp.asarray(runner.X0_REFERENCE, jnp.float32)
+        sim = runner.closed_loop_chunked(model32, p, cfg, x0, 950, chunk=190)
+        xs = np.asarray(sim.xs)
+        s = xs[:, 0]
+        assert np.all(np.diff(s) > 0)
+        assert s[-1] > float(model32.track.s_max)
+        assert np.abs(xs[:, 2]).max() < 0.5  # never comes close to spinning
+        assert np.abs(xs[:, 1]).max() < 1.0  # stays near the racing line
 
 
 @pytest.mark.slow
