@@ -21,6 +21,7 @@ import numpy as np
 from lap_time_optimization_tpu.models.bicycle import NU, BicycleModel
 from lap_time_optimization_tpu.mpc import solver as solver_mod
 from lap_time_optimization_tpu.mpc.solver import OCPParams, SolverConfig, n_con
+from lap_time_optimization_tpu.utils import checkpoint
 
 #: Reference initial state [s, n, mu, vx, vy, r, steer, throttle]
 #: (src/mpc.py:107-110)
@@ -111,6 +112,7 @@ def closed_loop_chunked(
     x0: jax.Array,
     steps: int,
     chunk: int = 100,
+    checkpoint_path: str | None = None,
 ) -> SimResult:
     """`closed_loop` split into fixed-size device programs: the warm-start
     carry crosses chunk boundaries on device, so the trajectory is IDENTICAL
@@ -120,11 +122,42 @@ def closed_loop_chunked(
     XLA compilation of a deep scan is expensive (the remote TPU compile
     service scales with program size; a 950-step single-scan lap did not
     finish compiling in 10 minutes, 100-step chunks compile in ~40 s total).
+
+    `checkpoint_path`: persist the full simulation state (warm-start
+    inputs/multipliers, plant state, per-step outputs) after every chunk;
+    an interrupted run restarted with the same arguments resumes at the
+    last completed chunk and produces the identical trajectory (the carry
+    crosses the save/load boundary exactly — tested in tests/test_mpc.py).
     """
     dtype = x0.dtype
-    carry = _presolve_jit(model, p, cfg, x0)
+    if steps <= 0:
+        return SimResult(
+            xs=x0[None], us=jnp.zeros((1, NU), dtype),
+            costs=jnp.zeros((0,), dtype), violations=jnp.zeros((0,), dtype),
+            sdot=jnp.zeros((0,), dtype),
+        )
     xs_l, us_l, costs_l, viols_l, sdots_l = [], [], [], [], []
     done = 0
+    carry = None
+    if checkpoint_path is not None and checkpoint.exists(checkpoint_path):
+        state = checkpoint.load(checkpoint_path)
+        if (
+            int(state["steps"]) == steps
+            and int(state["chunk"]) == chunk
+            and np.array_equal(state["x0"], np.asarray(x0))
+        ):
+            done = int(state["done"])
+            carry = tuple(
+                jnp.asarray(state[f"carry{i}"], dtype) for i in range(4)
+            )
+            if done:
+                xs_l = [jnp.asarray(state["xs"], dtype)]
+                us_l = [jnp.asarray(state["us"], dtype)]
+                costs_l = [jnp.asarray(state["costs"], dtype)]
+                viols_l = [jnp.asarray(state["violations"], dtype)]
+                sdots_l = [jnp.asarray(state["sdot"], dtype)]
+    if carry is None:
+        carry = _presolve_jit(model, p, cfg, x0)
     while done < steps:
         n = min(chunk, steps - done)
         # constant program shape: always run `chunk` steps, discard the tail
@@ -139,6 +172,17 @@ def closed_loop_chunked(
         xs_l.append(xs); us_l.append(us); costs_l.append(costs)
         viols_l.append(viols); sdots_l.append(sdots)
         done += n
+        if checkpoint_path is not None and done < steps:
+            checkpoint.save(
+                checkpoint_path,
+                steps=steps, chunk=chunk, done=done, x0=np.asarray(x0),
+                xs=np.concatenate([np.asarray(a) for a in xs_l]),
+                us=np.concatenate([np.asarray(a) for a in us_l]),
+                costs=np.concatenate([np.asarray(a) for a in costs_l]),
+                violations=np.concatenate([np.asarray(a) for a in viols_l]),
+                sdot=np.concatenate([np.asarray(a) for a in sdots_l]),
+                **{f"carry{i}": np.asarray(c) for i, c in enumerate(carry)},
+            )
     cat = lambda parts: jnp.concatenate(parts, axis=0)
     xs_full = jnp.concatenate([x0[None], cat(xs_l)], axis=0)
     us_full = jnp.concatenate([jnp.zeros((1, NU), dtype), cat(us_l)], axis=0)

@@ -167,21 +167,36 @@ def with_brake_preview(track: MPCTrack, a_brake: float, vref_scale: float = 1.0)
     """
     if not np.isfinite(a_brake) or a_brake <= 0.0:
         return track
+    if not np.isfinite(vref_scale) or vref_scale <= 0.0:
+        raise ValueError(
+            f"vref_scale must be positive (got {vref_scale}): the envelope is "
+            f"computed on the TRACKED target vref_scale*vref"
+        )
     v = np.asarray(track.vref_vals, dtype=np.float64)
     n = v.shape[0]
     ds = float(track.s_max) / (n - 1)
     # envelope on the scaled target == envelope on vref with a/scale²
     a_eff = a_brake / (vref_scale * vref_scale)
     w2 = v * v
-    # backward (anti-driving-direction) pass, twice around the closed lap so
-    # the wraparound braking point propagates across the start line
-    sweeps = 2 if track.closed else 1
-    for _ in range(sweeps):
+    # Backward (anti-driving-direction) passes to a fixed point: each sweep
+    # propagates braking information one lap upstream, and for very small
+    # a_eff the braking distance can exceed a lap, so iterate until the pass
+    # makes no update (monotone decreasing and bounded below by 0, so this
+    # terminates; 2 sweeps suffice for any a_eff with braking distance under
+    # two laps, the practical regime).
+    while True:
+        changed = False
         for i in range(n - 2, -1, -1):
-            w2[i] = min(w2[i], w2[i + 1] + 2.0 * a_eff * ds)
-        if track.closed:
+            cap = w2[i + 1] + 2.0 * a_eff * ds
+            if cap < w2[i]:
+                w2[i] = cap
+                changed = True
+        if track.closed and w2[0] < w2[-1]:
             # stitch the lap seam: sample 0 and n-1 are the same point
-            w2[-1] = min(w2[-1], w2[0])
+            w2[-1] = w2[0]
+            changed = True
+        if not changed or not track.closed:
+            break
     return dataclasses.replace(track, vref_vals=jnp.asarray(np.sqrt(w2), track.vref_vals.dtype))
 
 

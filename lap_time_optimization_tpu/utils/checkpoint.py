@@ -2,12 +2,14 @@
 
 The reference has no in-process persistence; its JSON artifacts are the only
 state (src/utils.py:108-136) and its do_mpc controllers admit they can't
-pickle (src/mpc.py:103).  Here long searches checkpoint their full state as
-npz so interrupted Bayesian/evolutionary runs resume exactly:
+pickle (src/mpc.py:103).  Here long runs checkpoint their full state as npz
+so interrupted runs resume exactly (both paths resume-tested):
 
 * BO: the (X, y) dataset + sigma history + PRNG key
-* evolutionary search: the candidate batch + sigma + round counter
-* NMPC closed loop: the warm-start inputs/multipliers + last state
+  (optim/global_search.bayesian, tests/test_gp.py)
+* NMPC closed loop: the warm-start inputs/multipliers + plant state +
+  per-step outputs at every chunk boundary
+  (mpc/runner.closed_loop_chunked, tests/test_mpc.py)
 """
 
 from __future__ import annotations

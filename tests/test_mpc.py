@@ -20,18 +20,35 @@ from lap_time_optimization_tpu.mpc import track as mpc_track
 from lap_time_optimization_tpu.mpc.solver import N_CON, OCPParams, SolverConfig
 
 REF_DATA = os.environ.get("LTO_REF_DATA", "/root/reference/data")
+REPO_DATA = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "data")
 
 
 @pytest.fixture(scope="module")
 def track():
+    """SHIPPED artifact set: the NMPC suite runs from a bare checkout.
+    The reference mount is only needed by TestRecordedTrace (whose recorded
+    IPOPT trace was produced on the reference's own artifacts)."""
+    if not os.path.isdir(os.path.join(REPO_DATA, "plots", "MX-5", "buckmore", "curvature")):
+        pytest.skip("shipped buckmore artifacts not available")
+    return mpc_track.load("MX-5", "buckmore", "curvature", base_dir=REPO_DATA)
+
+
+@pytest.fixture(scope="module")
+def model(track, mx5):
+    return BicycleModel(vehicle=mx5, track=track)
+
+
+@pytest.fixture(scope="module")
+def ref_track():
+    """REFERENCE artifact set — oracle for the recorded-IPOPT-trace gates."""
     if not os.path.isdir(os.path.join(REF_DATA, "plots", "MX-5", "buckmore", "curvature")):
         pytest.skip("reference artifacts not available")
     return mpc_track.load("MX-5", "buckmore", "curvature", base_dir=REF_DATA)
 
 
 @pytest.fixture(scope="module")
-def model(track, mx5):
-    return BicycleModel(vehicle=mx5, track=track)
+def ref_model(ref_track, mx5):
+    return BicycleModel(vehicle=mx5, track=ref_track)
 
 
 def numpy_rhs(veh, track, x, u):
@@ -226,6 +243,43 @@ class TestChunkedClosedLoop:
         for a, b in zip(runner.closed_loop(model, p, cfg, x0, 6), chunked):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    def test_steps_zero(self, model):
+        """steps=0 returns an empty-but-well-formed SimResult instead of
+        crashing on jnp.concatenate([]) (ADVICE r2)."""
+        p = OCPParams.reference(jnp.float64)
+        cfg = SolverConfig(horizon=10)
+        x0 = jnp.asarray(runner.X0_REFERENCE)
+        res = runner.closed_loop_chunked(model, p, cfg, x0, 0)
+        assert res.xs.shape == (1, NX) and res.us.shape == (1, NU)
+        assert res.costs.shape == (0,) and res.sdot.shape == (0,)
+        np.testing.assert_array_equal(np.asarray(res.xs[0]), np.asarray(x0))
+
+    def test_checkpoint_resume(self, model, tmp_path):
+        """An interrupted chunked run resumes from the npz checkpoint at the
+        last completed chunk and reproduces the no-checkpoint trajectory
+        bit-for-bit (the warm-start carry crosses the save/load boundary
+        exactly)."""
+        p = OCPParams.reference(jnp.float64, lateral_margin=0.05)
+        cfg = SolverConfig(horizon=10)
+        x0 = jnp.asarray(runner.X0_REFERENCE)
+        cp = str(tmp_path / "sim_checkpoint.npz")
+        baseline = runner.closed_loop_chunked(model, p, cfg, x0, 6, chunk=2)
+        # first run writes checkpoints after chunks 1 and 2 (done=2, 4)
+        first = runner.closed_loop_chunked(model, p, cfg, x0, 6, chunk=2, checkpoint_path=cp)
+        from lap_time_optimization_tpu.utils import checkpoint
+
+        assert checkpoint.exists(cp)
+        assert int(checkpoint.load(cp)["done"]) == 4
+        # "interrupted" rerun: resumes at done=4, only re-runs the last chunk
+        resumed = runner.closed_loop_chunked(model, p, cfg, x0, 6, chunk=2, checkpoint_path=cp)
+        for a, b, c in zip(baseline, first, resumed):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+        # a checkpoint for DIFFERENT run parameters is ignored, not misused
+        other = runner.closed_loop_chunked(model, p, cfg, x0, 4, chunk=2, checkpoint_path=cp)
+        for a, b in zip(runner.closed_loop_chunked(model, p, cfg, x0, 4, chunk=2), other):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
 
 class TestBrakePreview:
     """`mpc_track.with_brake_preview`: the braking-curve envelope baked into
@@ -272,6 +326,27 @@ class TestBrakePreview:
             np.asarray(same.vref_vals), np.asarray(track.vref_vals)
         )
 
+    def test_rejects_nonpositive_vref_scale(self, track):
+        """ADVICE r2: a zero/negative vref_scale would divide by scale² and
+        produce a nonsensical envelope; it must be rejected loudly."""
+        with pytest.raises(ValueError):
+            mpc_track.with_brake_preview(track, 1.0, vref_scale=0.0)
+        with pytest.raises(ValueError):
+            mpc_track.with_brake_preview(track, 1.0, vref_scale=-0.5)
+
+    def test_tiny_budget_reaches_fixed_point(self, track):
+        """ADVICE r2: with a braking distance exceeding two laps the
+        hardcoded-2-sweep envelope violated the feasibility invariant near
+        the seam; the fixed-point iteration must satisfy it for ANY budget."""
+        tr = mpc_track.with_brake_preview(track, 0.005, vref_scale=self.SCALE)
+        w2 = (self.SCALE * np.asarray(tr.vref_vals, np.float64)) ** 2
+        n = w2.shape[0]
+        ds = float(track.s_max) / (n - 1)
+        # tracked-target invariant: w[i]^2 <= w[i+1]^2 + 2*a_brake*ds
+        budget = 2.0 * 0.005 * ds + 1e-9
+        assert np.all(w2[:-1] - w2[1:] <= budget)
+        assert w2[-1] - w2[0] <= 1e-9
+
     def test_only_vref_changes(self, track):
         tr = mpc_track.with_brake_preview(track, self.A, vref_scale=self.SCALE)
         np.testing.assert_array_equal(np.asarray(tr.k_vals), np.asarray(track.k_vals))
@@ -308,10 +383,10 @@ class TestRecordedTrace:
         rec = json.load(open(ref_path))
         return np.asarray(rec["x"])[:, :, 0], np.asarray(rec["u"])[:, :, 0]
 
-    def test_plant_parity_per_step(self, model, recorded):
+    def test_plant_parity_per_step(self, ref_model, recorded):
         xr, ur = recorded
         xs_next = jax.vmap(
-            lambda x, u: model.step(x, u, 0.1, substeps=8)
+            lambda x, u: ref_model.step(x, u, 0.1, substeps=8)
         )(jnp.asarray(xr[:-1]), jnp.asarray(ur[1:]))
         dev = np.abs(np.asarray(xs_next) - xr[1:])
         # measured max deviations (x64): s 1.6e-6, n/mu 7e-5, vx 9e-6,
@@ -320,11 +395,11 @@ class TestRecordedTrace:
         assert np.all(dev.max(axis=0) < tol), dev.max(axis=0)
 
     @pytest.fixture(scope="class")
-    def our_trace(self, model):
+    def our_trace(self, ref_model):
         p = OCPParams.reference(jnp.float64)
         cfg = SolverConfig.accurate(horizon=10)
         x0 = jnp.asarray(runner.X0_REFERENCE)
-        res = runner.closed_loop(model, p, cfg, x0, 25)
+        res = runner.closed_loop(ref_model, p, cfg, x0, 25)
         return p, res
 
     def _executed_cost(self, model, p, xs, us):
@@ -335,12 +410,12 @@ class TestRecordedTrace:
         )
         return float(jnp.sum(costs))
 
-    def test_beats_recorded_controls(self, model, recorded, our_trace):
+    def test_beats_recorded_controls(self, ref_model, recorded, our_trace):
         xr, ur = recorded
         p, res = our_trace
         xs, us = np.asarray(res.xs), np.asarray(res.us)
-        ours = self._executed_cost(model, p, xs, us)
-        ipopt = self._executed_cost(model, p, xr, ur)
+        ours = self._executed_cost(ref_model, p, xs, us)
+        ipopt = self._executed_cost(ref_model, p, xr, ur)
         # measured: ours 1554.7 vs IPOPT 1899.9 (−18%)
         assert ours < ipopt
         # more track progress in the same 2.5 s (measured 14.73 vs 12.46 m)
@@ -430,6 +505,38 @@ class TestFullLap:
         assert s[-1] > float(model32.track.s_max)
         assert np.abs(xs[:, 2]).max() < 0.5  # never comes close to spinning
         assert np.abs(xs[:, 1]).max() < 1.0  # stays near the racing line
+
+
+@pytest.mark.slow
+class TestTwoLaps:
+    def test_two_lap_endurance(self, track, mx5):
+        """Multi-lap wrap semantics (VERDICT r2 weak #8): s crosses 2×s_max
+        under warm starts, so every table lookup (mpc/track.py:52-53), the
+        `-s ≤ 0` constraint row (mpc/solver.py:271) and the shifted
+        warm-start multipliers are exercised through TWO start-line
+        crossings.  f32 + brake preview (the production configuration), via
+        the chunked driver."""
+        tr = mpc_track.with_brake_preview(track, 1.0, vref_scale=0.6)
+        tr32 = jax.tree_util.tree_map(lambda a: jnp.asarray(a, jnp.float32), tr)
+        model32 = BicycleModel(vehicle=mx5, track=tr32)
+        p = OCPParams.reference(jnp.float32, lateral_margin=0.05)
+        cfg = SolverConfig(horizon=10)
+        x0 = jnp.asarray(runner.X0_REFERENCE, jnp.float32)
+        sim = runner.closed_loop_chunked(model32, p, cfg, x0, 1900, chunk=190)
+        xs = np.asarray(sim.xs)
+        s = xs[:, 0]
+        assert np.all(np.diff(s) > 0)
+        assert s[-1] > 2.0 * float(model32.track.s_max)
+        # the SECOND lap must be at least as clean as the first: no spin, on
+        # the line, and lap time no worse than lap 1 + 2 s (the start is a
+        # standing launch, so lap 2 should actually be faster)
+        s_max = float(model32.track.s_max)
+        cross1 = int(np.argmax(s > s_max))
+        cross2 = int(np.argmax(s > 2.0 * s_max))
+        assert 0 < cross1 < cross2
+        assert (cross2 - cross1) <= cross1 + 20
+        assert np.abs(xs[:, 2]).max() < 0.5
+        assert np.abs(xs[:, 1]).max() < 1.0
 
 
 @pytest.mark.slow
