@@ -534,10 +534,6 @@ def solve(
     backend = _resolved_backend(cfg)
     if backend in ("pallas", "interpret") and cfg.hessian_mode != "gauss_newton":
         raise ValueError("the fused Pallas backend requires hessian_mode='gauss_newton'")
-    if getattr(model, "enable_traction_ellipse", False) and backend in ("pallas", "interpret"):
-        # the fused kernel is specialized to the 14-row constraint set;
-        # the ellipse-enabled model runs on the XLA scan path
-        backend = "xla"
     if backend in ("pallas", "interpret"):
         iterate = partial(_iterate_pallas, interpret=(backend == "interpret"))
     else:

@@ -169,9 +169,11 @@ def _dyn_step(z, u, tables, scal, n_table, substeps, trig):
     return jnp.concatenate([x, u], axis=1)
 
 
-def _constraints(z, u, tables, scal, n_table):
-    """All 14 stage inequalities for the ladder (L, N_CON), solver-tightened
-    lateral band (mirrors mpc/solver.tightened_constraints)."""
+def _constraints(z, u, tables, scal, n_table, n_con, trig):
+    """Stage inequalities for the ladder (L, n_con), solver-tightened
+    lateral band (mirrors mpc/solver.tightened_constraints).  n_con=14 is
+    the reference box/band set; n_con=16 appends the two normalized
+    friction-ellipse rows (models/bicycle.traction_ellipse_physical)."""
     g = lambda name: scal[0, _S[name]]
     s, n_, mu = z[:, 0:1], z[:, 1:2], z[:, 2:3]
     vx, delta, thr = z[:, 3:4], z[:, 6:7], z[:, 7:8]
@@ -182,29 +184,46 @@ def _constraints(z, u, tables, scal, n_table):
     margin = g("lateral_margin")
     left = n_ - lon + lat - nl + margin
     right = -n_ + lon + lat - nr + margin
-    return jnp.concatenate(
-        [
-            left,
-            right,
-            -s,
-            mu - g("mu_max"),
-            -mu - g("mu_max"),
-            -vx,
-            delta - g("steer_max"),
-            -delta - g("steer_max"),
-            thr - g("throttle_max"),
-            -thr - g("throttle_max"),
-            u[:, 0:1] - g("dsteer_max"),
-            -u[:, 0:1] - g("dsteer_max"),
-            u[:, 1:2] - g("dthrottle_max"),
-            -u[:, 1:2] - g("dthrottle_max"),
-        ],
-        axis=1,
-    )
+    rows = [
+        left,
+        right,
+        -s,
+        mu - g("mu_max"),
+        -mu - g("mu_max"),
+        -vx,
+        delta - g("steer_max"),
+        -delta - g("steer_max"),
+        thr - g("throttle_max"),
+        -thr - g("throttle_max"),
+        u[:, 0:1] - g("dsteer_max"),
+        -u[:, 0:1] - g("dsteer_max"),
+        u[:, 1:2] - g("dthrottle_max"),
+        -u[:, 1:2] - g("dthrottle_max"),
+    ]
+    if n_con == N_CON + 2:
+        vy, r = z[:, 4:5], z[:, 5:6]
+        atan, atan2 = trig
+        lf, lr = g("length_f"), g("length_r")
+        m = g("mass")
+        wheelbase = lf + lr
+        Fn_f = lr * m * GRAV / wheelbase
+        Fn_r = lf * m * GRAV / wheelbase
+        alpha_f = atan2(vy + lf * r, vx) - delta
+        alpha_r = atan2(vy - lr * r, vx)
+        Fy_f = -Fn_f * g("D_f") * jnp.sin(g("C_f") * atan(g("B_f") * alpha_f))
+        Fy_r = -Fn_r * g("D_r") * jnp.sin(g("C_r") * atan(g("B_r") * alpha_r))
+        longf = 0.5 * g("C_m") * thr
+        cap_f = (g("D_f") * Fn_f) ** 2
+        cap_r = (g("D_r") * Fn_r) ** 2
+        rows.append((longf**2 + Fy_f**2 - cap_f) / cap_f)
+        rows.append((longf**2 + Fy_r**2 - cap_r) / cap_r)
+    elif n_con != N_CON:  # pragma: no cover
+        raise ValueError(f"unsupported constraint count {n_con}")
+    return jnp.concatenate(rows, axis=1)
 
 
-def _al_stage_cost(z, u, lam_row, tables, scal, n_table, trig):
-    """AL stage cost for the ladder (L, 1).  lam_row: (1, N_CON)."""
+def _al_stage_cost(z, u, lam_row, tables, scal, n_table, n_con, trig):
+    """AL stage cost for the ladder (L, 1).  lam_row: (1, n_con)."""
     g = lambda name: scal[0, _S[name]]
     s, n_, mu = z[:, 0:1], z[:, 1:2], z[:, 2:3]
     vx, vy = z[:, 3:4], z[:, 4:5]
@@ -223,19 +242,22 @@ def _al_stage_cost(z, u, lam_row, tables, scal, n_table, trig):
         + g("r_delta") * du[:, 0:1] ** 2
         + g("r_throttle") * du[:, 1:2] ** 2
     )
-    gc = _constraints(z, u, tables, scal, n_table)  # (L, N_CON)
+    gc = _constraints(z, u, tables, scal, n_table, n_con, trig)  # (L, n_con)
     rho = g("rho")
     shifted = jnp.maximum(0.0, lam_row + rho * gc)
     pen = jnp.sum((shifted**2 - lam_row**2) / (2.0 * rho), axis=1, keepdims=True)
     return lterm + pen
 
 
-def _al_terminal_cost(z, lam_row, tables, scal, n_table):
+def _al_terminal_cost(z, lam_row, tables, scal, n_table, n_con, trig):
     g = lambda name: scal[0, _S[name]]
     n_, mu, vy = z[:, 1:2], z[:, 2:3], z[:, 4:5]
     mterm = g("q_n") * n_**2 + g("q_mu") * mu**2 + vy**2
-    gc = _constraints(z, jnp.zeros((z.shape[0], NU), z.dtype), tables, scal, n_table)
-    mask = (jax.lax.broadcasted_iota(jnp.int32, (1, N_CON), 1) < 10).astype(z.dtype)
+    gc = _constraints(z, jnp.zeros((z.shape[0], NU), z.dtype), tables, scal, n_table, n_con, trig)
+    # state-only rows at the terminal stage: box/band rows 0-9 plus the
+    # ellipse rows 14+ (mirrors mpc/solver._state_row_mask)
+    idx = jax.lax.broadcasted_iota(jnp.int32, (1, n_con), 1)
+    mask = ((idx < 10) | (idx >= N_CON)).astype(z.dtype)
     gc = gc * mask + (mask - 1.0)  # inactive rows -> -1
     rho = g("rho")
     shifted = jnp.maximum(0.0, lam_row + rho * gc)
@@ -256,7 +278,7 @@ def _kernel(
     Vzz_ref,    # (NZ, NZ)  terminal Hessian
     zs_ref,     # (N+1, NZ) reference trajectory
     us_ref,     # (N, NU)   reference inputs
-    lams_ref,   # (N+1, N_CON)
+    lams_ref,   # (N+1, n_con)
     tables_ref, # (4, n) rows: k, nl, nr, vref
     alphas_ref, # (L, 1) line-search step sizes
     scal_ref,   # (1, NS)
@@ -275,6 +297,7 @@ def _kernel(
     N: int,
     L: int,
     n_table: int,
+    n_con: int,
     substeps: int,
     exact_trig: bool,
 ):
@@ -363,7 +386,7 @@ def _kernel(
             dz, K_k.T, preferred_element_type=dtype,
             precision=jax.lax.Precision.HIGHEST,
         )                                       # (L, NU)
-        cacc_s[:] += _al_stage_cost(z, u, lam_k, tables, scal, n_table, trig)
+        cacc_s[:] += _al_stage_cost(z, u, lam_k, tables, scal, n_table, n_con, trig)
         z_next = _dyn_step(z, u, tables, scal, n_table, substeps, trig)
         uall_s[pl.ds(k, 1)] = u[None]
         zall_s[pl.ds(k + 1, 1)] = z_next[None]
@@ -371,7 +394,7 @@ def _kernel(
 
     z_fin = jax.lax.fori_loop(0, N, fwd_body, z)
     lam_T = lams_ref[pl.ds(N, 1)]
-    costs = cacc_s[:] + _al_terminal_cost(z_fin, lam_T, tables, scal, n_table)  # (L, 1)
+    costs = cacc_s[:] + _al_terminal_cost(z_fin, lam_T, tables, scal, n_table, n_con, trig)  # (L, 1)
 
     # ------------------------------------------------- pick the best rung
     costs_row = costs[:, 0][None, :]            # (1, L)
@@ -452,12 +475,13 @@ def backward_forward(
 ):
     """One fused iLQR iteration: Riccati backward + L-rung line-search
     rollout.  Returns (zs_new (N+1,NZ), us_new (N,NU), cost (scalar),
-    ok (scalar 1.0/0.0))."""
+    ok (scalar 1.0/0.0)).  The constraint count (14 or 16 with the
+    friction-ellipse rows) is taken from the multiplier buffer shape."""
     dtype = zs.dtype
     n_table = tables.shape[1]
     kernel = functools.partial(
-        _kernel, N=N, L=L, n_table=n_table, substeps=substeps,
-        exact_trig=interpret,
+        _kernel, N=N, L=L, n_table=n_table, n_con=lams.shape[1],
+        substeps=substeps, exact_trig=interpret,
     )
     out_shape = (
         jax.ShapeDtypeStruct((N + 1, NZ), dtype),
