@@ -192,6 +192,43 @@ def closed_loop_chunked(
     )
 
 
+def _presolve_batch(model, p, cfg, x0_b):
+    """Batched t=0 warm-start burn-in (see `_presolve`)."""
+    dtype = x0_b.dtype
+    Bt = x0_b.shape[0]
+    N = cfg.horizon
+    us_warm = jnp.zeros((Bt, N, NU), dtype)
+    lam_warm = jnp.zeros((Bt, N + 1, n_con(model)), dtype)
+    u_prev = jnp.zeros((Bt, NU), dtype)
+    z0_b = jnp.concatenate([x0_b, u_prev], axis=1)
+    for _ in range(2):
+        warm = solver_mod.solve_batch(model, p, cfg, z0_b, us_warm, lam_warm)
+        us_warm, lam_warm = warm.us, warm.lam
+    return (x0_b, us_warm, lam_warm, u_prev)
+
+
+def _step_fn_batch(model, p, cfg, carry, _):
+    """Batched control cycle (see `_step_fn`): one solve_batch + vmapped
+    plant integration; per-instance input clipping is elementwise."""
+    x_b, us_warm, lam_warm, u_prev_b = carry
+    z0_b = jnp.concatenate([x_b, u_prev_b], axis=1)
+    res = solver_mod.solve_batch(model, p, cfg, z0_b, us_warm, lam_warm)
+    rate_lim = jnp.stack([p.dsteer_max, p.dthrottle_max])
+    box = jnp.stack([p.steer_max, p.throttle_max])
+    act = x_b[:, 6:8]
+    lo = jnp.maximum(-rate_lim, (-box - act) / cfg.dt)
+    hi = jnp.minimum(rate_lim, (box - act) / cfg.dt)
+    u0_b = jnp.clip(res.us[:, 0], lo, hi)
+    x_next = jax.vmap(lambda x, u: model.step(x, u, cfg.dt, substeps=cfg.substeps))(
+        x_b, u0_b
+    )
+    us_next = jnp.concatenate([res.us[:, 1:], res.us[:, -1:]], axis=1)
+    lam_next = jnp.concatenate([res.lam[:, 1:], res.lam[:, -1:]], axis=1)
+    sdot = (x_next[:, 0] - x_b[:, 0]) / cfg.dt
+    out = (x_next, u0_b, res.cost, res.max_violation, sdot)
+    return (x_next, us_next, lam_next, u0_b), out
+
+
 @partial(jax.jit, static_argnames=("cfg", "steps"))
 def closed_loop_batch(
     model: BicycleModel,
@@ -200,20 +237,37 @@ def closed_loop_batch(
     x0_batch: jax.Array,
     steps: int,
 ) -> SimResult:
-    """Vmapped fleet of independent closed loops (B, ...) on ONE chip:
-    B cars / scenarios / parameter variations simulated simultaneously.
-    Throughput scales with B until the chip saturates, amortizing the
-    per-step dispatch latency that bounds the single-stream rate.  For a
-    multi-chip fleet use `closed_loop_fleet`.
+    """Fleet of independent closed loops (B, ...) on ONE chip: B cars /
+    scenarios / parameter variations simulated simultaneously.  Throughput
+    scales with B until the chip saturates, amortizing the per-step
+    dispatch latency that bounds the single-stream rate.  For a multi-chip
+    fleet use `closed_loop_fleet`.
 
-    The batch axis supplies the parallelism here, so the XLA scan backend
-    is forced: vmapping the single-stream Pallas kernel would serialize
-    the batch through one VMEM-resident program (measured 917 vs 1528+
-    solves/s at B=32)."""
-    import dataclasses
-
-    cfg = dataclasses.replace(cfg, backend="xla")
-    return jax.vmap(lambda x0: closed_loop(model, p, cfg, x0, steps))(x0_batch)
+    The whole simulation is one scan whose body solves ALL B OCPs at once
+    via `solver.solve_batch`: on TPU the serial Riccati/line-search chains
+    run in the batch-parallel fused kernel (ops/pallas_ilqr_batch — batch
+    rides the lane dimension), which is what vmapping the single-stream
+    kernel could not give (it serializes the batch through one program;
+    measured 917 vs 1,528+ solves/s at B=32 in round 2).  On the XLA
+    backend solve_batch IS vmap(solve), preserving the round-2 behavior."""
+    dtype = x0_batch.dtype
+    Bt = x0_batch.shape[0]
+    carry0 = _presolve_batch(model, p, cfg, x0_batch)
+    _, (xs, us, costs, viols, sdots) = jax.lax.scan(
+        partial(_step_fn_batch, model, p, cfg), carry0, None, length=steps
+    )
+    # (steps, B, ...) -> (B, steps, ...) to match vmap(closed_loop) layout
+    xs = jnp.swapaxes(xs, 0, 1)
+    us = jnp.swapaxes(us, 0, 1)
+    xs_full = jnp.concatenate([x0_batch[:, None], xs], axis=1)
+    us_full = jnp.concatenate([jnp.zeros((Bt, 1, NU), dtype), us], axis=1)
+    return SimResult(
+        xs=xs_full,
+        us=us_full,
+        costs=jnp.swapaxes(costs, 0, 1),
+        violations=jnp.swapaxes(viols, 0, 1),
+        sdot=jnp.swapaxes(sdots, 0, 1),
+    )
 
 
 def closed_loop_fleet(

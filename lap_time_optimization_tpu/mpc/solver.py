@@ -580,3 +580,118 @@ def solve(
         cost=_true_cost(model, p, zs, us),
         max_violation=_max_violation(model, p, zs, us),
     )
+
+
+# ------------------------------------------------------------- batched solve
+def _iterate_pallas_batch(model, p, cfg, zs_b, us_b, lams_b, rho, reg_b, interpret):
+    """One iLQR iteration for a batch of OCPs: linearization + GN
+    quadraticization stay in XLA (batched large ops), the serial Riccati +
+    line search run in the batch-parallel fused kernel
+    (ops/pallas_ilqr_batch, batch on the lane dimension)."""
+    from lap_time_optimization_tpu.ops import pallas_ilqr as PK
+    from lap_time_optimization_tpu.ops import pallas_ilqr_batch as PKB
+
+    dtype = zs_b.dtype
+    A, B = jax.vmap(lambda zs, us: _linearize_joint(model, cfg, zs, us))(zs_b, us_b)
+    lz, lu, lzz, luu, luz = jax.vmap(
+        lambda zs, us, lams: jax.vmap(
+            lambda z, u, lam: _quads_gauss_newton(model, p, z, u, lam, rho)
+        )(zs[:-1], us, lams[:-1])
+    )(zs_b, us_b, lams_b)
+    Vz, Vzz = jax.vmap(
+        lambda zs, lams: _terminal_quads_gauss_newton(model, p, zs[-1], lams[-1], rho)
+    )(zs_b, lams_b)
+    tables = PK.tables_matrix(model, dtype)
+    scal = PK.scal_vector(model, p, cfg, rho, 0.0, dtype)
+    alphas = (10.0 ** jnp.linspace(0.0, -2.5, cfg.n_linesearch)).astype(dtype)
+    zs_new, us_new, cost, ok = PKB.backward_forward_batch(
+        A, B, lz, lu, lzz, luu, luz, Vz, Vzz,
+        zs_b, us_b, lams_b, tables, alphas, scal, reg_b,
+        N=cfg.horizon, L=cfg.n_linesearch, substeps=cfg.substeps,
+        interpret=interpret,
+    )
+    return cost, zs_new, us_new, ok < 0.5
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def solve_batch(
+    model: BicycleModel,
+    p: OCPParams,
+    cfg: SolverConfig,
+    z0_b: jax.Array,
+    us_init_b: jax.Array,
+    lam_init_b: jax.Array,
+) -> SolveResult:
+    """Solve a BATCH of independent horizon OCPs (leading batch axis on
+    every argument).  Per-instance semantics match `jax.vmap(solve)` —
+    same AL schedule, per-instance step acceptance and regularization
+    escalation (parity-tested in tests/test_pallas_ilqr.py) — but on TPU
+    the serial Riccati/line-search chains run in the batch-parallel fused
+    kernel instead of serializing a vmapped single-instance program.
+    On the XLA backend (or non-GN Hessians) this IS vmap(solve)."""
+    dtype = z0_b.dtype
+    backend = _resolved_backend(cfg)
+    if backend == "xla" or cfg.hessian_mode != "gauss_newton":
+        return jax.vmap(lambda z0, us, lam: solve(model, p, cfg, z0, us, lam))(
+            z0_b, us_init_b, lam_init_b
+        )
+    interpret = backend == "interpret"
+    Bt = z0_b.shape[0]
+    zs_b = jax.vmap(lambda z0, us: _rollout(model, cfg, z0, us))(z0_b, us_init_b)
+    us_b = us_init_b
+    lams_b = lam_init_b
+    rho = jnp.asarray(cfg.rho_init, dtype)
+
+    total_al = jax.vmap(
+        lambda zs, us, lams, r: _total_al_cost(model, p, cfg, zs, us, lams, r),
+        in_axes=(0, 0, 0, None),
+    )
+
+    def al_round(carry, _):
+        zs_b, us_b, lams_b, rho = carry
+        cost0 = total_al(zs_b, us_b, lams_b, rho)  # (Bt,)
+
+        def ilqr_iter(carry2, _):
+            zs_b, us_b, cost_b, reg_b = carry2
+            new_cost, zs_new, us_new, diverged = _iterate_pallas_batch(
+                model, p, cfg, zs_b, us_b, lams_b, rho, reg_b, interpret
+            )
+            improved = (new_cost < cost_b) & ~diverged
+            sel = improved[:, None, None]
+            zs_b = jnp.where(sel, zs_new, zs_b)
+            us_b = jnp.where(sel, us_new, us_b)
+            cost_b = jnp.where(improved, new_cost, cost_b)
+            reg_b = jnp.where(
+                improved, jnp.maximum(reg_b * 0.5, cfg.reg_init), reg_b * 100.0
+            )
+            return (zs_b, us_b, cost_b, reg_b), None
+
+        (zs_b, us_b, _, _), _ = jax.lax.scan(
+            ilqr_iter,
+            (zs_b, us_b, cost0, jnp.full((Bt,), cfg.reg_init, dtype)),
+            None, length=cfg.ilqr_iters, unroll=cfg.unroll_ilqr,
+        )
+
+        def update_lams(zs, us, lams):
+            g_stage = jax.vmap(lambda z, u: tightened_constraints(model, p, z, u))(
+                zs[:-1], us
+            )
+            g_term = tightened_constraints(model, p, zs[-1], jnp.zeros((NU,), dtype))
+            g_term = jnp.where(_state_row_mask(g_term.shape[0]), g_term, -1.0)
+            g_all = jnp.concatenate([g_stage, g_term[None]], axis=0)
+            return jnp.maximum(0.0, lams + rho * g_all)
+
+        lams_b = jax.vmap(update_lams)(zs_b, us_b, lams_b)
+        return (zs_b, us_b, lams_b, rho * cfg.rho_scale), None
+
+    (zs_b, us_b, lams_b, rho), _ = jax.lax.scan(
+        al_round, (zs_b, us_b, lams_b, rho), None, length=cfg.al_iters
+    )
+
+    return SolveResult(
+        us=us_b,
+        zs=zs_b,
+        lam=lams_b,
+        cost=jax.vmap(lambda zs, us: _true_cost(model, p, zs, us))(zs_b, us_b),
+        max_violation=jax.vmap(lambda zs, us: _max_violation(model, p, zs, us))(zs_b, us_b),
+    )

@@ -151,3 +151,108 @@ class TestKernelParity:
             n,
         )[:, 0]
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-9, atol=1e-12)
+
+
+class TestBatchedKernel:
+    """Parity gates for the batch-parallel fused kernel
+    (ops/pallas_ilqr_batch): per-instance results must match the vmapped
+    XLA path on identical inputs.  Instances start at DIFFERENT arc
+    lengths so the per-instance table windowing is genuinely exercised
+    (including one instance near the lap seam)."""
+
+    def _batch_inputs(self, model, dtype, cfg, B=3):
+        s_max = float(model.track.s_max)
+        x0s = []
+        for i, s0 in enumerate([0.0, 0.43 * s_max, s_max - 3.0][:B]):
+            x = np.array(runner.X0_REFERENCE, dtype=np.float64)
+            x[0] = s0
+            x[3] = 5.0 + 2.0 * i
+            x0s.append(x)
+        x0_b = jnp.asarray(np.stack(x0s), dtype)
+        z0_b = jnp.concatenate([x0_b, jnp.zeros((B, NU), dtype)], axis=1)
+        us_b = jnp.full((B, cfg.horizon, NU), 0.05, dtype)
+        lam_b = jnp.zeros((B, cfg.horizon + 1, S.n_con(model)), dtype)
+        return z0_b, us_b, lam_b
+
+    def test_window_tables_match_global_lookup(self, stack):
+        """Windowed lookups must equal the global-table lookup for every
+        in-window arc length, including windows wrapping the lap seam."""
+        from lap_time_optimization_tpu.ops import pallas_ilqr_batch as PKB
+
+        model = stack
+        dtype = jnp.float64
+        tables = PK.tables_matrix(model, dtype)
+        track = model.track
+        s_max = float(track.s_max)
+        n = tables.shape[1]
+        ds = s_max / (n - 1)
+        W = PKB.WINDOW
+        s0_b = jnp.asarray([0.0, 1.0, 400.0, s_max - 2.0], dtype)
+        wtab, s0_win = PKB.window_tables(tables, s0_b, jnp.asarray(s_max, dtype), W)
+        assert wtab.shape == (4, W, 4)
+        for b in range(4):
+            # probe the GUARANTEED part of the window: start = floor(s0/ds)-M
+            # can sit up to one sample behind s0 - M*ds, so the safe probe
+            # range from s0 is (-M*ds, (W - M - 2)*ds]
+            offs = np.linspace(-PKB.MARGIN * ds + 1e-6, (W - PKB.MARGIN - 2) * ds, 33)
+            s_probe = (float(s0_b[b]) + offs) % s_max
+            ref = np.asarray(track.curvature(jnp.asarray(s_probe, dtype)))
+            got = PKB._lookup_b(
+                wtab[0:1, :, b:b + 1],
+                jnp.asarray(s_probe, dtype)[:, None, None],
+                s0_win[None, None, b:b + 1],
+                jnp.asarray(s_max, dtype),
+                jnp.asarray((n - 1) / s_max, dtype),
+                W,
+            )[:, 0, 0]
+            np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-9, atol=1e-12)
+
+    @pytest.mark.parametrize("dtype_name", ["float32", "float64"])
+    def test_solve_batch_matches_vmap_solve(self, stack, dtype_name):
+        dtype = jnp.dtype(dtype_name)
+        model = _cast(stack, dtype)
+        cfg_x = SolverConfig(horizon=10, al_iters=2, ilqr_iters=3, backend="xla")
+        cfg_b = SolverConfig(horizon=10, al_iters=2, ilqr_iters=3, backend="interpret")
+        p = OCPParams.reference(dtype, lateral_margin=0.05)
+        z0_b, us_b, lam_b = self._batch_inputs(model, dtype, cfg_x)
+        r_x = S.solve_batch(model, p, cfg_x, z0_b, us_b, lam_b)  # vmap(solve)
+        r_b = S.solve_batch(model, p, cfg_b, z0_b, us_b, lam_b)  # batched kernel
+        tol = 2e-4 if dtype == jnp.float32 else 1e-9
+        np.testing.assert_allclose(np.asarray(r_b.us), np.asarray(r_x.us), rtol=tol, atol=tol)
+        np.testing.assert_allclose(np.asarray(r_b.zs), np.asarray(r_x.zs), rtol=tol, atol=tol)
+        np.testing.assert_allclose(
+            np.asarray(r_b.cost), np.asarray(r_x.cost), rtol=10 * tol
+        )
+
+    def test_solve_batch_traction_ellipse(self, stack):
+        import dataclasses
+
+        dtype = jnp.float32
+        model = dataclasses.replace(_cast(stack, dtype), enable_traction_ellipse=True)
+        cfg_x = SolverConfig(horizon=10, al_iters=1, ilqr_iters=2, backend="xla")
+        cfg_b = SolverConfig(horizon=10, al_iters=1, ilqr_iters=2, backend="interpret")
+        p = OCPParams.reference(dtype, lateral_margin=0.05)
+        z0_b, us_b, lam_b = self._batch_inputs(model, dtype, cfg_x, B=2)
+        assert lam_b.shape[2] == 16
+        r_x = S.solve_batch(model, p, cfg_x, z0_b, us_b, lam_b)
+        r_b = S.solve_batch(model, p, cfg_b, z0_b, us_b, lam_b)
+        np.testing.assert_allclose(np.asarray(r_b.us), np.asarray(r_x.us), rtol=2e-4, atol=2e-4)
+
+    @pytest.mark.slow
+    def test_closed_loop_batch_kernel_path_matches_xla(self, stack):
+        """End-to-end: the batched-kernel closed loop must track the XLA
+        closed loop (interpreter mode on CPU; small budgets)."""
+        import dataclasses
+
+        dtype = jnp.float32
+        model = _cast(stack, dtype)
+        p = OCPParams.reference(dtype, lateral_margin=0.05)
+        cfg_x = SolverConfig(horizon=10, backend="xla")
+        cfg_b = SolverConfig(horizon=10, backend="interpret")
+        x0 = jnp.asarray(runner.X0_REFERENCE, dtype)
+        x0_b = jnp.stack([x0, x0.at[3].set(6.0)])
+        r_x = runner.closed_loop_batch(model, p, cfg_x, x0_b, 3)
+        r_b = runner.closed_loop_batch(model, p, cfg_b, x0_b, 3)
+        np.testing.assert_allclose(
+            np.asarray(r_b.xs), np.asarray(r_x.xs), rtol=2e-3, atol=2e-3
+        )
