@@ -40,7 +40,7 @@ PUBLISHED_RUNTIME = {  # README.md:122 / :131 (unspecified CPU host)
 }
 
 
-def run_method(track, vehicle, method, seed=0):
+def run_method(track, vehicle, method, seed=0, solver="scan"):
     import numpy as np
 
     from lap_time_optimization_tpu.optim import global_search, racing_line
@@ -53,9 +53,9 @@ def run_method(track, vehicle, method, seed=0):
     elif method == "laptime":
         alphas = racing_line.minimise_lap_time(track, vehicle).x
     elif method == "bayes":
-        alphas, _, _ = global_search.bayesian(track, vehicle, seed=seed)
+        alphas, _, _ = global_search.bayesian(track, vehicle, seed=seed, solver=solver)
     elif method == "nonlinear":
-        alphas, _ = global_search.nonlinear(track, vehicle, seed=seed)
+        alphas, _ = global_search.nonlinear(track, vehicle, seed=seed, solver=solver)
     else:
         raise ValueError(method)
 
@@ -82,6 +82,10 @@ def main():
     ap.add_argument("--only", type=str, default=None,
                     help="comma-separated 'vehicle/method' columns to (re)run; "
                          "others are kept from an existing --out file")
+    ap.add_argument("--solver", type=str, default="scan", choices=["scan", "assoc"],
+                    help="velocity-profile schedule for the global searches: "
+                         "sequential scan (CPU default) or the log-depth "
+                         "associative variant (faster serial loops on TPU)")
     args = ap.parse_args()
 
     import jax
@@ -102,13 +106,19 @@ def main():
     }
 
     results = {}
-    if args.only and os.path.isfile(args.out):
+    if os.path.isfile(args.out):
         results = json.load(open(args.out)).get("columns", {})
     only = set(args.only.split(",")) if args.only else None
+    meta = dict(
+        track="buckmore", width=0.99, seed=0,
+        backend=jax.devices()[0].platform,
+        x64=bool(jax.config.jax_enable_x64),
+        solver=args.solver,
+    )
     for (veh_name, method), pub in PUBLISHED.items():
         if only is not None and f"{veh_name}/{method}" not in only:
             continue
-        got = run_method(track, vehicles[veh_name], method)
+        got = run_method(track, vehicles[veh_name], method, solver=args.solver)
         ratio = got["lap_time"] / pub["lap_time"]
         results[f"{veh_name}/{method}"] = dict(
             ours=got,
@@ -118,14 +128,10 @@ def main():
         print(f"{veh_name:6s} {method:11s} lap {got['lap_time']:7.3f} vs {pub['lap_time']:7.3f} "
               f"({(ratio-1)*100:+.2f}%)  run {got['run_time']:.1f}s vs "
               f"{PUBLISHED_RUNTIME[(veh_name, method)]:.1f}s", flush=True)
-
-    meta = dict(
-        track="buckmore", width=0.99, seed=0,
-        backend=jax.devices()[0].platform,
-        x64=bool(jax.config.jax_enable_x64),
-    )
-    with open(args.out, "w") as f:
-        json.dump(dict(meta=meta, columns=results), f, indent=2)
+        # persist after every column: long on-chip runs must not lose finished
+        # columns to a crash (the axon program deadline is fatal per-process)
+        with open(args.out, "w") as f:
+            json.dump(dict(meta=meta, columns=results), f, indent=2)
     print(f"wrote {args.out}")
 
 

@@ -1,23 +1,32 @@
-"""Pallas TPU kernel: fused batched velocity-profile sweeps.
+"""Pallas TPU kernel: fused batched velocity-profile solve (both sweeps).
 
 The batched racing-line search (nonlinear multi-start, Bayesian acquisition,
 evolutionary rounds, sector sweeps) evaluates thousands of velocity profiles
 per step.  The `lax.scan` formulation issues ~850 sequential HLO steps of tiny
-vector ops per sweep; this kernel fuses an entire directional sweep into ONE
-Pallas program: all (N, B) arrays live in VMEM, the recurrence runs in a
-`fori_loop` over rows, and the per-step physics (engine map, traction law,
-reachable-speed limit) is pure VPU math with no per-op dispatch overhead.
+vector ops per sweep; this kernel runs the whole 3-pass solve as ONE Pallas
+program per batch group.
 
-Layout: arrays are (N, B_tile) with the candidate batch on the 128-lane axis —
-each recurrence step reads/writes one contiguous row.  The grid tiles the
-batch axis so arbitrary B fits VMEM.
+Design (round-3 rewrite; the round-2 kernel only tied the vmapped scan):
+
+* **Native-tile batch layout.** Candidates are packed (N, G, 128) with G=8
+  sublane groups, so every recurrence step is one (8, 128) VREG op — the
+  round-2 kernel processed (1, 128) rows, wasting 7/8 of the VPU and running
+  8× more grid programs at B=1024.
+* **Both directional sweeps in one loop.** The acceleration and braking
+  recurrences are independent chains, so one `fori_loop` step advances both —
+  the second chain rides instruction-level parallelism inside the serial
+  dependency chain instead of doubling wall time (the round-2 design launched
+  two kernels).
+* **Sample-axis chunking over a sequential grid.** TPU grid steps execute in
+  order, so the carry lives in VMEM scratch across chunks and VMEM holds only
+  (rows × G × 128) blocks — N is unbounded.
 
 The engine map (a ≤8-knot piecewise-linear curve, reference
 src/vehicle.py:25-27) is evaluated gather-free as
 f(v) = f₀ + Σᵢ slopeᵢ·clamp(v−vᵢ, 0, Δvᵢ), which matches `jnp.interp`'s
-clamped extrapolation exactly.  Invalid steps (the wrap link on open tracks)
-are encoded as ds < 0 and skipped in-kernel, matching the sequential
-semantics of `ops.velocity.solve_profile`.
+clamped extrapolation exactly.  Invalid steps (the wrap link on open tracks,
+and row padding) are encoded as ds < 0 and skipped in-kernel, matching the
+sequential semantics of `ops.velocity.solve_profile` (oracle-tested).
 """
 
 from __future__ import annotations
@@ -33,18 +42,25 @@ from lap_time_optimization_tpu.models.vehicle import GRAV, PacejkaVehicle, Point
 
 MAX_ENGINE_KNOTS = 8
 LANE = 128
+SUBLANE_GROUPS = 8  # G: batch groups per block — one (8, 128) f32 VREG tile
+ROW_CHUNK = 128  # sample rows per grid step (bounds VMEM, N can be anything)
 
 
-def _sweep_kernel(
+def _fused_kernel(
     params_ref,  # SMEM (4,) packed scalars [mass, f_cap, eng_const, eng_quad]
     engine_ref,  # SMEM (4, MAX_ENGINE_KNOTS) rows: v_knots, slopes, widths, f0
-    vloc_ref,  # VMEM (N, Bt)
-    kprev_ref,  # VMEM (N, Bt)
-    ds_ref,  # VMEM (N, Bt); ds < 0 marks a skipped (invalid) step
-    out_ref,  # VMEM (N, Bt)
+    vloc_a_ref,  # VMEM (rows, G, LANE) local limit, acc (rolled) order
+    kprev_a_ref,  # VMEM (rows, G, LANE) curvature at the previous sample, acc
+    ds_a_ref,  # VMEM (rows, G, LANE); ds < 0 marks a skipped step, acc
+    vloc_d_ref,  # VMEM (rows, G, LANE) same three streams in braking
+    kprev_d_ref,  # (flipped) order
+    ds_d_ref,
+    init_ref,  # VMEM (2, G, LANE) initial carries [acc, dec]
+    out_a_ref,  # VMEM (rows, G, LANE) acc-limited profile
+    out_d_ref,  # VMEM (rows, G, LANE) dec-limited profile (flipped order)
+    carry_ref,  # VMEM scratch (2, G, LANE), persists across row chunks
     *,
-    n_steps: int,
-    accelerating: bool,
+    rows: int,
     pacejka: bool,
 ):
     mass = params_ref[0]
@@ -52,6 +68,11 @@ def _sweep_kernel(
     f_cap = params_ref[1]
     eng_const = params_ref[2]
     eng_quad = params_ref[3]
+
+    @pl.when(pl.program_id(1) == 0)
+    def _reset_carry():  # new batch group: re-seed both chains
+        carry_ref[0] = init_ref[0]
+        carry_ref[1] = init_ref[1]
 
     def traction(v, k):
         f_lat = mass * v * v * k
@@ -69,22 +90,26 @@ def _sweep_kernel(
             )
         return f
 
-    def body(j, v_prev):
-        v_here = vloc_ref[j, :]
-        k_p = kprev_ref[j, :]
-        ds_j = ds_ref[j, :]
+    def limit(v_prev, v_here, k_p, ds_j, accelerating):
         if accelerating:
             force = jnp.minimum(engine(v_prev), traction(v_prev, k_p))
         else:
             force = traction(v_prev, k_p)
         vlim = jnp.sqrt(v_prev * v_prev + 2.0 * force * inv_mass * jnp.maximum(ds_j, 0.0))
         valid = ds_j >= 0.0
-        v_new = jnp.where(valid & (v_here > v_prev), jnp.minimum(v_here, vlim), v_here)
-        out_ref[j, :] = v_new
-        return v_new
+        return jnp.where(valid & (v_here > v_prev), jnp.minimum(v_here, vlim), v_here)
 
-    v0 = vloc_ref[n_steps - 1, :]
-    jax.lax.fori_loop(0, n_steps, body, v0)
+    def body(j, carry):
+        va, vd = carry
+        va = limit(va, vloc_a_ref[j], kprev_a_ref[j], ds_a_ref[j], True)
+        vd = limit(vd, vloc_d_ref[j], kprev_d_ref[j], ds_d_ref[j], False)
+        out_a_ref[j] = va
+        out_d_ref[j] = vd
+        return va, vd
+
+    va, vd = jax.lax.fori_loop(0, rows, body, (carry_ref[0], carry_ref[1]))
+    carry_ref[0] = va
+    carry_ref[1] = vd
 
 
 def _pack_vehicle(vehicle, dtype):
@@ -119,41 +144,83 @@ def _pack_vehicle(vehicle, dtype):
     raise TypeError(f"unsupported vehicle type {type(vehicle)}")
 
 
-@functools.partial(jax.jit, static_argnames=("accelerating", "pacejka", "interpret"))
-def directional_sweep(
+def _to_groups(x, n_pad, groups_pad):
+    """(B, N) → (Np, groups, LANE) with row padding marked by the caller."""
+    B, N = x.shape
+    xp = jnp.pad(x, ((0, groups_pad * LANE - B), (0, n_pad - N)))
+    return xp.reshape(groups_pad, LANE, n_pad).transpose(2, 0, 1)
+
+
+def _from_groups(x, B, N):
+    """(Np, groups, LANE) → (B, N)."""
+    return x.transpose(1, 2, 0).reshape(-1, x.shape[0])[:B, :N]
+
+
+@functools.partial(jax.jit, static_argnames=("pacejka", "interpret"))
+def _fused_solve(
     params: jax.Array,
     engine: jax.Array,
-    v_loc: jax.Array,  # (B, N)
-    k_prev: jax.Array,
-    ds: jax.Array,
-    accelerating: bool,
+    vloc_a: jax.Array,  # (B, N) acc-order streams
+    kprev_a: jax.Array,
+    ds_a: jax.Array,
+    vloc_d: jax.Array,  # (B, N) dec-order (flipped) streams
+    kprev_d: jax.Array,
+    ds_d: jax.Array,
+    init: jax.Array,  # (2, B) initial carries
     pacejka: bool,
     interpret: bool = False,
-) -> jax.Array:
-    """One fused directional pass over a candidate batch: (B, N) → (B, N)."""
-    B, N = v_loc.shape
-    bt = min(LANE, B)
-    grid = (pl.cdiv(B, bt),)
+):
+    """Both directional sweeps, fused: returns (v_acc, v_dec_flipped), (B, N)."""
+    B, N = vloc_a.shape
+    dtype = vloc_a.dtype
+    groups = pl.cdiv(B, LANE)
+    G = min(SUBLANE_GROUPS, groups)
+    groups_pad = G * pl.cdiv(groups, G)
+    rows = min(ROW_CHUNK, N)
+    n_chunks = pl.cdiv(N, rows)
+    n_pad = rows * n_chunks
 
-    kernel = functools.partial(
-        _sweep_kernel, n_steps=N, accelerating=accelerating, pacejka=pacejka
+    def prep(x):
+        return _to_groups(x, n_pad, groups_pad)
+
+    # row padding must be INVALID (ds < 0) so padded rows pass v_here through
+    # without touching the carry chain semantics beyond the real rows
+    neg = jnp.full((B, n_pad - N), -1.0, dtype)
+    ds_a_p = _to_groups(jnp.concatenate([ds_a, neg], axis=1), n_pad, groups_pad)
+    ds_d_p = _to_groups(jnp.concatenate([ds_d, neg], axis=1), n_pad, groups_pad)
+    vloc_a_p = prep(vloc_a)
+    vloc_d_p = prep(vloc_d)
+    kprev_a_p = prep(kprev_a)
+    kprev_d_p = prep(kprev_d)
+    init_p = jnp.pad(init, ((0, 0), (0, groups_pad * LANE - B))).reshape(
+        2, groups_pad, LANE
     )
-    out_t = pl.pallas_call(
+
+    kernel = functools.partial(_fused_kernel, rows=rows, pacejka=pacejka)
+    stream_spec = pl.BlockSpec(
+        (rows, G, LANE), lambda bi, ci, *_: (ci, bi, 0), memory_space=pltpu.VMEM
+    )
+    init_spec = pl.BlockSpec(
+        (2, G, LANE), lambda bi, ci, *_: (0, bi, 0), memory_space=pltpu.VMEM
+    )
+    out_a, out_d = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((N, B), v_loc.dtype),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_pad, groups_pad, LANE), dtype),
+            jax.ShapeDtypeStruct((n_pad, groups_pad, LANE), dtype),
+        ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
-            grid=grid,
-            in_specs=[
-                pl.BlockSpec((N, bt), lambda i, *_: (0, i), memory_space=pltpu.VMEM),
-                pl.BlockSpec((N, bt), lambda i, *_: (0, i), memory_space=pltpu.VMEM),
-                pl.BlockSpec((N, bt), lambda i, *_: (0, i), memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec((N, bt), lambda i, *_: (0, i), memory_space=pltpu.VMEM),
+            # batch groups outer, row chunks inner: chunks run sequentially so
+            # the carry scratch threads the recurrence across the sample axis
+            grid=(groups_pad // G, n_chunks),
+            in_specs=[stream_spec] * 6 + [init_spec],
+            out_specs=(stream_spec, stream_spec),
+            scratch_shapes=[pltpu.VMEM((2, G, LANE), dtype)],
         ),
         interpret=interpret,
-    )(params, engine, v_loc.T, k_prev.T, ds.T)
-    return out_t.T
+    )(params, engine, vloc_a_p, kprev_a_p, ds_a_p, vloc_d_p, kprev_d_p, ds_d_p, init_p)
+    return _from_groups(out_a, B, N), _from_groups(out_d, B, N)
 
 
 def solve_profile_batch(
@@ -164,11 +231,11 @@ def solve_profile_batch(
     closed: bool = True,
     interpret: bool = False,
 ) -> jax.Array:
-    """Batched 3-pass profile with Pallas-fused directional sweeps.
+    """Batched 3-pass profile with a single fused Pallas program per batch group.
 
     Semantics match `ops.velocity.solve_profile` vmapped over candidates
     (oracle-tested); the roll/flip bookkeeping stays in XLA (cheap gathers),
-    while the sequential sweeps run as two Pallas kernels.
+    while both sequential sweeps run fused in one kernel.
     """
     from lap_time_optimization_tpu.ops.velocity import local_limit
 
@@ -190,26 +257,29 @@ def solve_profile_batch(
     params, engine, pacejka = _pack_vehicle(vehicle, dtype)
     neg = jnp.asarray(-1.0, dtype)
 
-    ds_f = jnp.mod(sr - jnp.roll(sr, 1, axis=1), s_max[:, None])
+    ds_a = jnp.mod(sr - jnp.roll(sr, 1, axis=1), s_max[:, None])
     if not closed:
         idx = jnp.arange(N)[None, :]
         wrap = jnp.mod(-i0, N)[:, None]
-        ds_f = jnp.where(idx == wrap, neg, sr - jnp.roll(sr, 1, axis=1))
-    v_acc = directional_sweep(
-        params, engine, vr, jnp.roll(kr, 1, axis=1), ds_f, True, pacejka, interpret
-    )
-    v_acc = roll_rows(v_acc, i0)
+        ds_a = jnp.where(idx == wrap, neg, sr - jnp.roll(sr, 1, axis=1))
+    kprev_a = jnp.roll(kr, 1, axis=1)
 
     sf = jnp.flip(sr, axis=1)
     kf = jnp.flip(kr, axis=1)
     vf = jnp.flip(vr, axis=1)
-    ds_b = jnp.mod(jnp.roll(sf, 1, axis=1) - sf, s_max[:, None])
+    ds_d = jnp.mod(jnp.roll(sf, 1, axis=1) - sf, s_max[:, None])
     if not closed:
         idx = jnp.arange(N)[None, :]
-        ds_b = jnp.where(idx == i0[:, None], neg, jnp.roll(sf, 1, axis=1) - sf)
-    v_dec = directional_sweep(
-        params, engine, vf, jnp.roll(kf, 1, axis=1), ds_b, False, pacejka, interpret
-    )
-    v_dec = roll_rows(jnp.flip(v_dec, axis=1), i0)
+        ds_d = jnp.where(idx == i0[:, None], neg, jnp.roll(sf, 1, axis=1) - sf)
+    kprev_d = jnp.roll(kf, 1, axis=1)
 
+    # sweep seeds: the sequential pass starts its carry at the last element of
+    # each (rolled / flipped) stream — vr[N-1] for acc, vf[N-1] = vr[0] for dec
+    init = jnp.stack([vr[:, -1], vf[:, -1]])
+
+    v_acc, v_dec_f = _fused_solve(
+        params, engine, vr, kprev_a, ds_a, vf, kprev_d, ds_d, init, pacejka, interpret
+    )
+    v_acc = roll_rows(v_acc, i0)
+    v_dec = roll_rows(jnp.flip(v_dec_f, axis=1), i0)
     return jnp.minimum(v_acc, v_dec)

@@ -37,14 +37,26 @@ ALPHA_LO, ALPHA_HI = 0.0, 0.99  # reference bounds, tbn.py:172,209
 
 
 # --------------------------------------------------------------------- pipeline
-def decongested_lap_time(track: Track, vehicle, alphas_dec: jax.Array) -> jax.Array:
+def decongested_lap_time(
+    track: Track, vehicle, alphas_dec: jax.Array, solver: str = "scan"
+) -> jax.Array:
     """Lap time of the spline through the decongested control subset
-    (reference `calcMinTime`, tbn.py:65-80)."""
+    (reference `calcMinTime`, tbn.py:65-80).
+
+    `solver` selects the velocity-profile schedule: "scan" is the sequential
+    oracle-exact 3-pass; "assoc" is the log-depth associative variant
+    (`velocity.solve_profile_parallel`), which converges to the same profile
+    but runs ~an order of magnitude faster for the *serial* inner loops of the
+    global searches on TPU, where a single 860-step `lax.scan` (and its
+    reverse-mode twin) is pure latency."""
     controls = track.control_points_decongested(alphas_dec)
     sp = spline.fit(controls, track.closed)
     s = jnp.linspace(0.0, sp.length, track.ns)
     k = spline.curvature(sp, s[:-1], signed=False)
-    v = velocity.solve_profile(vehicle, s[:-1], k, sp.length, track.closed)
+    if solver == "scan":
+        v = velocity.solve_profile(vehicle, s[:-1], k, sp.length, track.closed)
+    else:
+        v = velocity.solve_profile_parallel(vehicle, s[:-1], k, sp.length, track.closed)
     return velocity.lap_time(s, v)
 
 
@@ -60,35 +72,76 @@ def evaluate_decongested(track: Track, vehicle, alphas_dec: jax.Array):
 evaluate_decongested_jit = jax.jit(evaluate_decongested)
 
 
-@partial(jax.jit, static_argnames=())
-def _batch_lap_times(track: Track, vehicle, alphas_batch: jax.Array) -> jax.Array:
-    return jax.vmap(lambda a: decongested_lap_time(track, vehicle, a))(alphas_batch)
+@partial(jax.jit, static_argnames=("solver",))
+def _batch_lap_times(track: Track, vehicle, alphas_batch: jax.Array, solver: str = "scan") -> jax.Array:
+    """Batched lap times with NaN → +inf: a degenerate candidate (f32 spline
+    fit through a self-crossing control polygon can NaN) must lose every
+    argmin/argsort, not poison it — jnp.argmin returns the NaN index, which in
+    round-3 testing sent a garbage candidate to the top of the BO dataset."""
+    times = jax.vmap(lambda a: decongested_lap_time(track, vehicle, a, solver))(alphas_batch)
+    return jnp.where(jnp.isnan(times), jnp.inf, times)
+
+
+# ------------------------------------------------------- chunked L-BFGS machinery
+# No single device program may run unboundedly long: the axon TPU tunnel
+# hard-kills any program at ~60 s (measured — PERFORMANCE.md "program-duration
+# budget"), and a to-convergence L-BFGS while_loop over the full lap-time
+# pipeline crosses that from a jagged incumbent (data-dependent zoom-linesearch
+# trip counts).  All refinement below therefore runs as host-dispatched
+# segments of at most `chunk` iterations; segmentation is step-for-step
+# identical to one long program (tested).
+_CHUNK = 25
+
+
+def _bounded_stepper(track: Track, vehicle, max_iter: int, solver: str):
+    return optimize.bounded_stepper(
+        lambda a: decongested_lap_time(track, vehicle, a, solver),
+        lo=ALPHA_LO,
+        hi=ALPHA_HI,
+        max_iter=max_iter,
+        dtype=track.left.dtype,
+    )
+
+
+@partial(jax.jit, static_argnames=("max_iter", "solver", "batched"))
+def _refine_init(track, vehicle, x0, max_iter, solver, batched=False):
+    init, _, _ = _bounded_stepper(track, vehicle, max_iter, solver)
+    return jax.vmap(init)(x0) if batched else init(x0)
+
+
+@partial(jax.jit, static_argnames=("max_iter", "n_steps", "solver", "batched"))
+def _refine_run(track, vehicle, carry, max_iter, n_steps, solver, batched=False):
+    _, run, _ = _bounded_stepper(track, vehicle, max_iter, solver)
+    return jax.vmap(lambda c: run(c, n_steps))(carry) if batched else run(carry, n_steps)
+
+
+@partial(jax.jit, static_argnames=("max_iter", "solver", "batched"))
+def _refine_finalize(track, vehicle, carry, max_iter, solver, batched=False):
+    _, _, fin = _bounded_stepper(track, vehicle, max_iter, solver)
+    return jax.vmap(fin)(carry) if batched else fin(carry)
+
+
+def _refine_chunked(track, vehicle, x0, max_iter, solver, chunk=_CHUNK, batched=False):
+    """Run bounded L-BFGS to convergence/max_iter in ≤`chunk`-iteration device
+    programs.  Returns a MinimizeResult (batched over the leading axis of x0
+    when `batched`)."""
+    carry = _refine_init(track, vehicle, x0, max_iter, solver, batched)
+    prev_it = -1
+    while True:
+        carry = _refine_run(track, vehicle, carry, max_iter, chunk, solver, batched)
+        it = int(jnp.max(carry[2])) if batched else int(carry[2])
+        if it >= max_iter or it == prev_it:  # budget exhausted or converged
+            break
+        prev_it = it
+    return _refine_finalize(track, vehicle, carry, max_iter, solver, batched)
 
 
 # -------------------------------------------------------------------- nonlinear
-@partial(jax.jit, static_argnames=("n_refine", "max_iter"))
-def _nonlinear_core(track: Track, vehicle, cands: jax.Array, n_refine: int, max_iter: int):
-    times = _batch_lap_times(track, vehicle, cands)
+@partial(jax.jit, static_argnames=("n_refine", "solver"))
+def _nonlinear_select(track: Track, vehicle, cands: jax.Array, n_refine: int, solver: str):
+    times = _batch_lap_times(track, vehicle, cands, solver)
     order = jnp.argsort(times)
-    seeds = cands[order[:n_refine]]
-
-    def refine(x0):
-        res = optimize.minimize_bounded(
-            lambda a: decongested_lap_time(track, vehicle, a),
-            x0,
-            lo=ALPHA_LO,
-            hi=ALPHA_HI,
-            max_iter=max_iter,
-        )
-        return res.x, res.fun
-
-    xs, fs = jax.vmap(refine)(seeds)
-    best_ref = jnp.argmin(fs)
-    best_rand = order[0]
-    use_refined = fs[best_ref] < times[best_rand]
-    best_x = jnp.where(use_refined, xs[best_ref], cands[best_rand])
-    best_f = jnp.minimum(fs[best_ref], times[best_rand])
-    return best_x, best_f
+    return times, order, cands[order[:n_refine]]
 
 
 def nonlinear(
@@ -99,6 +152,7 @@ def nonlinear(
     n_refine: int = 10,
     max_iter: int = 100,
     mesh=None,
+    solver: str = "scan",
 ):
     """Batched random search + vmapped gradient refinement (vs tbn.py:230-269).
 
@@ -106,6 +160,8 @@ def nonlinear(
     the mesh's 'dp' axis — the multi-chip replacement for the reference's
     degenerate `Pool(processes=1)` (tbn.py:256).  Results are identical to the
     unsharded run (same candidates, same reductions; tested)."""
+    from contextlib import nullcontext
+
     key = jax.random.PRNGKey(seed)
     d = track.n_decongested
     dtype = track.left.dtype
@@ -114,10 +170,14 @@ def nonlinear(
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         cands = jax.device_put(cands, NamedSharding(mesh, P("dp", None)))
-        with jax.set_mesh(mesh):
-            best_x, best_f = _nonlinear_core(track, vehicle, cands, n_refine, max_iter)
-    else:
-        best_x, best_f = _nonlinear_core(track, vehicle, cands, n_refine, max_iter)
+    with jax.set_mesh(mesh) if mesh is not None else nullcontext():
+        times, order, seeds = _nonlinear_select(track, vehicle, cands, n_refine, solver)
+        res = _refine_chunked(track, vehicle, seeds, max_iter, solver, batched=True)
+        best_ref = jnp.argmin(res.fun)
+        best_rand = order[0]
+        use_refined = res.fun[best_ref] < times[best_rand]
+        best_x = jnp.where(use_refined, res.x[best_ref], cands[best_rand])
+        best_f = jnp.minimum(res.fun[best_ref], times[best_rand])
     return best_x, float(best_f)
 
 
@@ -133,9 +193,9 @@ def _smooth_chol(d: int, dtype, corr_len: float = 2.0) -> jax.Array:
     return jnp.linalg.cholesky(K)
 
 
-@partial(jax.jit, static_argnames=("n_local", "n_uniform"))
+@partial(jax.jit, static_argnames=("n_local", "n_uniform", "solver"))
 def _propose_and_eval(track: Track, vehicle, key: jax.Array, incumbent: jax.Array,
-                      n_local: int, n_uniform: int):
+                      n_local: int, n_uniform: int, solver: str = "scan"):
     """One acquisition round: smooth correlated perturbations of the
     incumbent at three scales plus uniform exploration; return candidates and
     their true lap times."""
@@ -153,18 +213,27 @@ def _propose_and_eval(track: Track, vehicle, key: jax.Array, incumbent: jax.Arra
     local = jnp.clip(incumbent[None, None, :] + mix, ALPHA_LO, ALPHA_HI).reshape(-1, d)
     uni = jax.random.uniform(k2, (n_uniform, d), dtype, ALPHA_LO, ALPHA_HI)
     cands = jnp.concatenate([local, uni], axis=0)
-    times = _batch_lap_times(track, vehicle, cands)
+    times = _batch_lap_times(track, vehicle, cands, solver)
     return cands, times
 
 
-@partial(jax.jit, static_argnames=("max_iter",))
-def _polish(track: Track, vehicle, x0: jax.Array, max_iter: int = 60):
+@jax.jit
+def _gp_targets(y_data: jax.Array, mask: jax.Array) -> jax.Array:
+    """GP regression targets from the padded dataset: masked rows → 0, and any
+    non-finite observation (a NaN→inf-sanitized degenerate candidate that won
+    an all-bad round) → the worst finite observation, so one bad sample marks
+    its region as poor instead of NaN-ing the Cholesky."""
+    finite = jnp.isfinite(y_data) & mask
+    worst = jnp.max(jnp.where(finite, y_data, -jnp.inf))
+    y = jnp.where(jnp.isfinite(y_data), y_data, worst)
+    return jnp.where(mask, y, 0.0)
+
+
+def _polish(track: Track, vehicle, x0: jax.Array, max_iter: int = 60, solver: str = "scan"):
     """Short gradient refinement of the incumbent (lap time is differentiable
-    here, unlike in the reference's COBYLA-only loop)."""
-    res = optimize.minimize_bounded(
-        lambda a: decongested_lap_time(track, vehicle, a), x0,
-        lo=ALPHA_LO, hi=ALPHA_HI, max_iter=max_iter,
-    )
+    here, unlike in the reference's COBYLA-only loop).  Host-chunked — see
+    `_refine_chunked` for why this must not be one device program."""
+    res = _refine_chunked(track, vehicle, x0, max_iter, solver)
     return res.x, res.fun
 
 
@@ -183,6 +252,7 @@ def bayesian(
     polish_every: int = 1,
     polish_iters: int = 200,
     heartbeat_path: str | None = None,
+    solver: str = "scan",
 ):
     """GP-guided global search with true-objective acquisition (vs tbn.py:120-205).
 
@@ -215,7 +285,7 @@ def bayesian(
     y_data = jnp.full((cap,), jnp.inf, dtype)
     x_init = jax.random.uniform(k0, (n_init, d), dtype, ALPHA_LO, ALPHA_HI)
     x_data = x_data.at[:n_init].set(x_init)
-    y_data = y_data.at[:n_init].set(_batch_lap_times(track, vehicle, x_init))
+    y_data = y_data.at[:n_init].set(_batch_lap_times(track, vehicle, x_init, solver))
     count = n_init
     start_round = 1
     sigma_hist: list[float] = []
@@ -234,13 +304,13 @@ def bayesian(
     for rounds in range(start_round, max_rounds + 1):
         key, kf, kp = jax.random.split(key, 3)
         mask = jnp.arange(cap) < count
-        model = gp_ops.fit(x_data, jnp.where(mask, y_data, 0.0), kf, mask=mask)
+        model = gp_ops.fit(x_data, _gp_targets(y_data, mask), kf, mask=mask)
         incumbent = x_data[jnp.argmin(y_data)]  # padded rows are +inf
-        cands, times = _propose_and_eval(track, vehicle, kp, incumbent, n_local, n_uniform)
+        cands, times = _propose_and_eval(track, vehicle, kp, incumbent, n_local, n_uniform, solver)
         j = jnp.argmin(times)
         w_star = cands[j]
         if polish_every and rounds % polish_every == 0:
-            x_pol, f_pol = _polish(track, vehicle, incumbent, max_iter=polish_iters)
+            x_pol, f_pol = _polish(track, vehicle, incumbent, max_iter=polish_iters, solver=solver)
             better = f_pol < times[j]
             w_star = jnp.where(better, x_pol, w_star)
             times = times.at[j].set(jnp.minimum(times[j], f_pol))

@@ -154,3 +154,70 @@ class TestCheckpointResume:
         _, best2, info2 = global_search.bayesian(buckmore, tbr18, max_rounds=5, **kw)
         assert info2["n_samples"] >= info1["n_samples"]
         assert best2 < 60.0
+
+
+class TestChunkedRefinement:
+    """Host-chunked L-BFGS segments must be step-for-step identical to one
+    long program (the chunking exists because the axon TPU tunnel kills any
+    single device program at ~60 s — see PERFORMANCE.md)."""
+
+    def test_chunked_equals_single_program(self, buckmore, tbr18):
+        from lap_time_optimization_tpu.optim import global_search
+
+        d = buckmore.n_decongested
+        key = jax.random.PRNGKey(7)
+        x0 = jax.random.uniform(key, (d,), buckmore.left.dtype, 0.0, 0.99)
+
+        # chunk=100 > max_iter runs everything in ONE device program; chunk=7
+        # crosses the jit boundary 5 times.  Identical compiled loop body =>
+        # bitwise-identical iterates regardless of segmentation.
+        one = global_search._refine_chunked(buckmore, tbr18, x0, 30, "scan", chunk=100)
+        seg = global_search._refine_chunked(buckmore, tbr18, x0, 30, "scan", chunk=7)
+        assert int(seg.n_iter) == int(one.n_iter)
+        np.testing.assert_allclose(np.asarray(seg.x), np.asarray(one.x), rtol=1e-12)
+        np.testing.assert_allclose(float(seg.fun), float(one.fun), rtol=1e-12)
+
+    def test_chunked_batched_matches_single_segment(self, buckmore, tbr18):
+        from lap_time_optimization_tpu.optim import global_search
+
+        d = buckmore.n_decongested
+        seeds = jax.random.uniform(jax.random.PRNGKey(3), (3, d), buckmore.left.dtype, 0.0, 0.99)
+        t0 = global_search._batch_lap_times(buckmore, tbr18, seeds, "scan")
+        one = global_search._refine_chunked(buckmore, tbr18, seeds, 20, "scan", chunk=100, batched=True)
+        seg = global_search._refine_chunked(buckmore, tbr18, seeds, 20, "scan", chunk=6, batched=True)
+        # segmentation is exact within the (identical-shape) vmapped program
+        np.testing.assert_allclose(np.asarray(seg.x), np.asarray(one.x), rtol=1e-12)
+        # and the refinement actually improves every seed
+        assert np.all(np.asarray(seg.fun) < np.asarray(t0))
+
+    def test_assoc_solver_objective_close_to_scan(self, buckmore, tbr18):
+        from lap_time_optimization_tpu.optim import global_search
+
+        d = buckmore.n_decongested
+        x = jax.random.uniform(jax.random.PRNGKey(11), (5, d), buckmore.left.dtype, 0.0, 0.99)
+        t_scan = global_search._batch_lap_times(buckmore, tbr18, x, "scan")
+        t_assoc = global_search._batch_lap_times(buckmore, tbr18, x, "assoc")
+        np.testing.assert_allclose(np.asarray(t_assoc), np.asarray(t_scan), rtol=2e-3)
+
+
+class TestNaNHygiene:
+    """f32 proposal batches can contain NaN lap times (degenerate spline fits);
+    these must be discarded, not poison argmin/the GP (round-3 TPU finding:
+    jnp.argmin returns the NaN index, which sent a garbage candidate to the
+    top of the BO dataset and NaN'd the σ stop rule)."""
+
+    def test_gp_targets_replace_nonfinite(self):
+        from lap_time_optimization_tpu.optim.global_search import _gp_targets
+
+        y = jnp.asarray([40.0, jnp.inf, 37.0, jnp.nan, 99.0])
+        mask = jnp.asarray([True, True, True, True, False])
+        out = np.asarray(_gp_targets(y, mask))
+        np.testing.assert_allclose(out, [40.0, 40.0, 37.0, 40.0, 0.0])
+
+    def test_batch_lap_times_never_nan(self, buckmore, tbr18):
+        from lap_time_optimization_tpu.optim import global_search
+
+        d = buckmore.n_decongested
+        x = jax.random.uniform(jax.random.PRNGKey(5), (8, d), buckmore.left.dtype, 0.0, 0.99)
+        t = np.asarray(global_search._batch_lap_times(buckmore, tbr18, x, "scan"))
+        assert not np.any(np.isnan(t))

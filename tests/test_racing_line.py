@@ -101,22 +101,30 @@ class TestCompromise:
         lap, _, _, _ = racing_line.evaluate_jit(buckmore99, mx5, alphas)
         assert float(lap) < REF_COMPROMISE_LAP_MX5 * 1.01
 
-    def test_estimated_compromise(self, buckmore, tbr18):
-        alphas, epsilon = racing_line.minimise_estimated_compromise(buckmore, tbr18, max_iter=200)
+    def test_estimated_compromise(self, buckmore99, tbr18):
+        """No README column exists for --estimated; the binding relative gate
+        is that the estimated-ε heuristic must stay within striking distance
+        of the tuned compromise (37.810) and decisively beat 40.0
+        (measured 38.384 at this budget)."""
+        alphas, epsilon = racing_line.minimise_estimated_compromise(buckmore99, tbr18, max_iter=200)
         assert 0.0 < epsilon < 0.2
-        lap, _, _, _ = racing_line.evaluate_jit(buckmore, tbr18, alphas)
-        assert float(lap) < 42.0
+        lap, _, _, _ = racing_line.evaluate_jit(buckmore99, tbr18, alphas)
+        assert float(lap) < 40.0
 
 
 @pytest.mark.slow
 class TestSectors:
-    def test_sector_merge(self, buckmore, tbr18):
+    def test_sector_merge(self, buckmore99, tbr18):
+        """No README column exists for --sectors; the binding relative gate is
+        that per-sector compromise + cross-fade merging must beat the plain
+        curvature line (published 39.934) — it optimizes lap time per sector,
+        so losing to pure geometry would mean the merge destroys the gains
+        (measured 38.902 at this budget)."""
         alphas, eps_w, corners = racing_line.optimise_sectors(
-            buckmore, tbr18, n_grid=4, max_iter=150
+            buckmore99, tbr18, n_grid=4, max_iter=150
         )
-        assert alphas.shape == (buckmore.size,)
+        assert alphas.shape == (buckmore99.size,)
         assert np.all(np.asarray(alphas) >= -1e-9) and np.all(np.asarray(alphas) <= 1.0 + 1e-9)
         assert len(eps_w) == corners.shape[0]
-        lap, _, _, _ = racing_line.evaluate_jit(buckmore, tbr18, jnp.clip(alphas, 0.0, 1.0))
-        # merged sector paths should be competitive with the centerline (~47s)
-        assert float(lap) < 44.0
+        lap, _, _, _ = racing_line.evaluate_jit(buckmore99, tbr18, jnp.clip(alphas, 0.0, 1.0))
+        assert float(lap) < REF_CURVATURE_LAP_TBR18
