@@ -21,8 +21,11 @@ import jax  # noqa: E402
 # platform already selected (env JAX_PLATFORMS is read at import time, so
 # setting it here would be too late), but the test suite is defined to run on
 # a virtual 8-device CPU mesh with x64 oracles.
-jax.config.update("jax_platforms", os.environ.get("LTO_TEST_PLATFORM", "cpu"))
-jax.config.update("jax_enable_x64", True)
+_platform = os.environ.get("LTO_TEST_PLATFORM", "cpu")
+jax.config.update("jax_platforms", _platform)
+# x64 oracles only make sense on CPU; the on-chip smoke tier
+# (LTO_TEST_PLATFORM=tpu/axon) runs the production f32 path.
+jax.config.update("jax_enable_x64", _platform == "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
