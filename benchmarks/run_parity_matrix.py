@@ -82,10 +82,12 @@ def main():
     ap.add_argument("--only", type=str, default=None,
                     help="comma-separated 'vehicle/method' columns to (re)run; "
                          "others are kept from an existing --out file")
-    ap.add_argument("--solver", type=str, default="scan", choices=["scan", "assoc"],
+    ap.add_argument("--solver", type=str, default="scan", choices=["scan", "assoc", "pallas"],
                     help="velocity-profile schedule for the global searches: "
-                         "sequential scan (CPU default) or the log-depth "
-                         "associative variant (faster serial loops on TPU)")
+                         "sequential scan (CPU default), the log-depth "
+                         "associative variant (faster serial loops on TPU), or "
+                         "the fused Pallas kernel for forward evals (TPU only; "
+                         "gradient refinement falls back to assoc)")
     args = ap.parse_args()
 
     import jax

@@ -16,7 +16,13 @@ import jax.numpy as jnp
 
 from lap_time_optimization_tpu.ops import optimize
 
-_JITTER = 1e-10  # sklearn GaussianProcessRegressor default `alpha`
+def _jitter(dtype) -> float:
+    """Cholesky jitter: sklearn GaussianProcessRegressor's default alpha=1e-10
+    in f64 (oracle parity), scaled up for f32 — the BO dataset accumulates
+    (near-)duplicate polished incumbents, so K is numerically singular and
+    1e-10 cannot keep a float32 Cholesky positive-definite (eps ≈ 1.2e-7;
+    observed round-3 on TPU: NaN length scale from round 7 on)."""
+    return 1e-10 if jnp.dtype(dtype).itemsize >= 8 else 3e-5
 
 
 def matern52(x1: jax.Array, x2: jax.Array, length_scale) -> jax.Array:
@@ -47,7 +53,7 @@ def _masked_kernel(x, ell, mask, dtype):
     m2 = mask[:, None] & mask[None, :]
     K = jnp.where(m2, K, 0.0)
     K = K.at[jnp.arange(n), jnp.arange(n)].set(jnp.where(mask, K[jnp.arange(n), jnp.arange(n)], 1.0))
-    return K + _JITTER * jnp.eye(n, dtype=dtype)
+    return K + _jitter(dtype) * jnp.eye(n, dtype=dtype)
 
 
 def _nll(log_ell: jax.Array, x: jax.Array, y: jax.Array, mask: jax.Array) -> jax.Array:
@@ -68,6 +74,7 @@ def fit(
     n_restarts: int = 10,
     max_iter: int = 50,
     mask: jax.Array | None = None,
+    ell0: jax.Array | None = None,
 ) -> GP:
     """MLE length-scale fit with vmapped random restarts, then factorize.
 
@@ -79,15 +86,24 @@ def fit(
     dataset one point per round, so callers pad to fixed-size buckets to
     avoid per-round recompilation; padded rows are decoupled and do not
     affect the fit or predictions.
+
+    `ell0` warm-starts the MLE from a known-good length scale (the previous
+    round's fit): incremental refits need only a couple of restarts and few
+    iterations, since one new observation barely moves the scale.
     """
     x = jnp.asarray(x)
     y = jnp.asarray(y)
     if mask is None:
         mask = jnp.ones((x.shape[0],), dtype=bool)
     y = jnp.where(mask, y, 0.0)
+    first = (
+        jnp.zeros((1,), x.dtype)  # ell = 1.0, the sklearn initial value
+        if ell0 is None
+        else jnp.log(jnp.asarray(ell0, x.dtype)).reshape(1)
+    )
     starts = jnp.concatenate(
         [
-            jnp.zeros((1,), x.dtype),  # ell = 1.0, the sklearn initial value
+            first,
             jax.random.uniform(key, (n_restarts,), x.dtype, jnp.log(1e-2), jnp.log(1e2)),
         ]
     )
@@ -101,6 +117,9 @@ def fit(
     log_ells, nlls = jax.vmap(solve)(starts)
     best = jnp.argmin(jnp.where(jnp.isfinite(nlls), nlls, jnp.inf))
     ell = jnp.exp(log_ells[best])
+    # if every restart NaN'd (pathologically conditioned K), fall back to the
+    # first start (the warm ell0 / sklearn init) rather than poisoning the GP
+    ell = jnp.where(jnp.isfinite(ell) & (ell > 0), ell, jnp.exp(starts[0]))
     K = _masked_kernel(x, ell, mask, x.dtype)
     L = jnp.linalg.cholesky(K)
     weights = jax.scipy.linalg.cho_solve((L, True), y)

@@ -15,8 +15,17 @@ Design (round-3 rewrite; the round-2 kernel only tied the vmapped scan):
 * **Both directional sweeps in one loop.** The acceleration and braking
   recurrences are independent chains, so one `fori_loop` step advances both —
   the second chain rides instruction-level parallelism inside the serial
-  dependency chain instead of doubling wall time (the round-2 design launched
-  two kernels).
+  dependency chain instead of doubling wall time.
+* **Two laps instead of per-candidate rolls.** The classic solver starts each
+  sweep at the global minimum of the local limit, which costs an argmin plus
+  per-row dynamic `jnp.roll` gathers in XLA — measured at 28.6 ms of the
+  29 ms total at B=1024 (the kernel itself runs in 0.09 ms).  Instead the
+  kernel sweeps the UNROLLED cyclic recurrence twice (2N steps): the update
+  v⁺ = where(v_loc > v_prev, min(v_loc, reach(v_prev)), v_loc) is monotone in
+  v_prev and exact at the global minimum regardless of the carry, so after
+  the first pass crosses the minimum every second-pass value is exact
+  (oracle-tested).  Output blocks are simply written on both passes; the
+  second pass wins.
 * **Sample-axis chunking over a sequential grid.** TPU grid steps execute in
   order, so the carry lives in VMEM scratch across chunks and VMEM holds only
   (rows × G × 128) blocks — N is unbounded.
@@ -24,8 +33,8 @@ Design (round-3 rewrite; the round-2 kernel only tied the vmapped scan):
 The engine map (a ≤8-knot piecewise-linear curve, reference
 src/vehicle.py:25-27) is evaluated gather-free as
 f(v) = f₀ + Σᵢ slopeᵢ·clamp(v−vᵢ, 0, Δvᵢ), which matches `jnp.interp`'s
-clamped extrapolation exactly.  Invalid steps (the wrap link on open tracks,
-and row padding) are encoded as ds < 0 and skipped in-kernel, matching the
+clamped extrapolation exactly.  Invalid steps (the seam link on open tracks)
+are encoded as ds < 0 and restart the chain in-kernel, matching the
 sequential semantics of `ops.velocity.solve_profile` (oracle-tested).
 """
 
@@ -49,18 +58,19 @@ ROW_CHUNK = 128  # sample rows per grid step (bounds VMEM, N can be anything)
 def _fused_kernel(
     params_ref,  # SMEM (4,) packed scalars [mass, f_cap, eng_const, eng_quad]
     engine_ref,  # SMEM (4, MAX_ENGINE_KNOTS) rows: v_knots, slopes, widths, f0
-    vloc_a_ref,  # VMEM (rows, G, LANE) local limit, acc (rolled) order
-    kprev_a_ref,  # VMEM (rows, G, LANE) curvature at the previous sample, acc
-    ds_a_ref,  # VMEM (rows, G, LANE); ds < 0 marks a skipped step, acc
+    vloc_a_ref,  # VMEM (rows, G, LANE) local limit, forward order
+    kprev_a_ref,  # VMEM (rows, G, LANE) curvature at the previous sample
+    ds_a_ref,  # VMEM (rows, G, LANE); ds < 0 marks a chain restart (open seam)
     vloc_d_ref,  # VMEM (rows, G, LANE) same three streams in braking
     kprev_d_ref,  # (flipped) order
     ds_d_ref,
-    init_ref,  # VMEM (2, G, LANE) initial carries [acc, dec]
     out_a_ref,  # VMEM (rows, G, LANE) acc-limited profile
     out_d_ref,  # VMEM (rows, G, LANE) dec-limited profile (flipped order)
     carry_ref,  # VMEM scratch (2, G, LANE), persists across row chunks
     *,
     rows: int,
+    rows_last: int,
+    n_chunks: int,
     pacejka: bool,
 ):
     mass = params_ref[0]
@@ -69,10 +79,14 @@ def _fused_kernel(
     eng_const = params_ref[2]
     eng_quad = params_ref[3]
 
-    @pl.when(pl.program_id(1) == 0)
-    def _reset_carry():  # new batch group: re-seed both chains
-        carry_ref[0] = init_ref[0]
-        carry_ref[1] = init_ref[1]
+    ci = pl.program_id(1)  # 0 .. 2*n_chunks-1: two passes over the sample axis
+
+    @pl.when(ci == 0)
+    def _seed_carry():
+        # any value ≥ the true profile works (monotone overestimate); the
+        # local limit at the first sample is the natural choice
+        carry_ref[0] = vloc_a_ref[0]
+        carry_ref[1] = vloc_d_ref[0]
 
     def traction(v, k):
         f_lat = mass * v * v * k
@@ -107,7 +121,9 @@ def _fused_kernel(
         out_d_ref[j] = vd
         return va, vd
 
-    va, vd = jax.lax.fori_loop(0, rows, body, (carry_ref[0], carry_ref[1]))
+    is_last = (ci % n_chunks) == n_chunks - 1
+    n_rows = jnp.where(is_last, rows_last, rows)
+    va, vd = jax.lax.fori_loop(0, n_rows, body, (carry_ref[0], carry_ref[1]))
     carry_ref[0] = va
     carry_ref[1] = vd
 
@@ -144,33 +160,32 @@ def _pack_vehicle(vehicle, dtype):
     raise TypeError(f"unsupported vehicle type {type(vehicle)}")
 
 
-def _to_groups(x, n_pad, groups_pad):
-    """(B, N) → (Np, groups, LANE) with row padding marked by the caller."""
+def _to_groups(x, groups_pad):
+    """(B, N) → (N, groups, LANE)."""
     B, N = x.shape
-    xp = jnp.pad(x, ((0, groups_pad * LANE - B), (0, n_pad - N)))
-    return xp.reshape(groups_pad, LANE, n_pad).transpose(2, 0, 1)
+    xp = jnp.pad(x, ((0, groups_pad * LANE - B), (0, 0)))
+    return xp.reshape(groups_pad, LANE, N).transpose(2, 0, 1)
 
 
-def _from_groups(x, B, N):
-    """(Np, groups, LANE) → (B, N)."""
-    return x.transpose(1, 2, 0).reshape(-1, x.shape[0])[:B, :N]
+def _from_groups(x, B):
+    """(N, groups, LANE) → (B, N)."""
+    return x.transpose(1, 2, 0).reshape(-1, x.shape[0])[:B]
 
 
 @functools.partial(jax.jit, static_argnames=("pacejka", "interpret"))
 def _fused_solve(
     params: jax.Array,
     engine: jax.Array,
-    vloc_a: jax.Array,  # (B, N) acc-order streams
+    vloc_a: jax.Array,  # (B, N) forward-order streams
     kprev_a: jax.Array,
     ds_a: jax.Array,
-    vloc_d: jax.Array,  # (B, N) dec-order (flipped) streams
+    vloc_d: jax.Array,  # (B, N) braking-order (flipped) streams
     kprev_d: jax.Array,
     ds_d: jax.Array,
-    init: jax.Array,  # (2, B) initial carries
     pacejka: bool,
     interpret: bool = False,
 ):
-    """Both directional sweeps, fused: returns (v_acc, v_dec_flipped), (B, N)."""
+    """Both directional sweeps, fused, two laps each: (v_acc, v_dec_flipped)."""
     B, N = vloc_a.shape
     dtype = vloc_a.dtype
     groups = pl.cdiv(B, LANE)
@@ -178,49 +193,37 @@ def _fused_solve(
     groups_pad = G * pl.cdiv(groups, G)
     rows = min(ROW_CHUNK, N)
     n_chunks = pl.cdiv(N, rows)
-    n_pad = rows * n_chunks
+    rows_last = N - rows * (n_chunks - 1)
 
-    def prep(x):
-        return _to_groups(x, n_pad, groups_pad)
+    streams = [
+        _to_groups(x, groups_pad) for x in (vloc_a, kprev_a, ds_a, vloc_d, kprev_d, ds_d)
+    ]
 
-    # row padding must be INVALID (ds < 0) so padded rows pass v_here through
-    # without touching the carry chain semantics beyond the real rows
-    neg = jnp.full((B, n_pad - N), -1.0, dtype)
-    ds_a_p = _to_groups(jnp.concatenate([ds_a, neg], axis=1), n_pad, groups_pad)
-    ds_d_p = _to_groups(jnp.concatenate([ds_d, neg], axis=1), n_pad, groups_pad)
-    vloc_a_p = prep(vloc_a)
-    vloc_d_p = prep(vloc_d)
-    kprev_a_p = prep(kprev_a)
-    kprev_d_p = prep(kprev_d)
-    init_p = jnp.pad(init, ((0, 0), (0, groups_pad * LANE - B))).reshape(
-        2, groups_pad, LANE
+    kernel = functools.partial(
+        _fused_kernel, rows=rows, rows_last=rows_last, n_chunks=n_chunks, pacejka=pacejka
     )
-
-    kernel = functools.partial(_fused_kernel, rows=rows, pacejka=pacejka)
     stream_spec = pl.BlockSpec(
-        (rows, G, LANE), lambda bi, ci, *_: (ci, bi, 0), memory_space=pltpu.VMEM
-    )
-    init_spec = pl.BlockSpec(
-        (2, G, LANE), lambda bi, ci, *_: (0, bi, 0), memory_space=pltpu.VMEM
+        # two passes over the sample axis: chunk index wraps at n_chunks
+        (rows, G, LANE), lambda bi, ci, *_: (ci % n_chunks, bi, 0), memory_space=pltpu.VMEM
     )
     out_a, out_d = pl.pallas_call(
         kernel,
         out_shape=(
-            jax.ShapeDtypeStruct((n_pad, groups_pad, LANE), dtype),
-            jax.ShapeDtypeStruct((n_pad, groups_pad, LANE), dtype),
+            jax.ShapeDtypeStruct((N, groups_pad, LANE), dtype),
+            jax.ShapeDtypeStruct((N, groups_pad, LANE), dtype),
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
-            # batch groups outer, row chunks inner: chunks run sequentially so
-            # the carry scratch threads the recurrence across the sample axis
-            grid=(groups_pad // G, n_chunks),
-            in_specs=[stream_spec] * 6 + [init_spec],
+            # batch groups outer, row chunks inner (sequential): the carry
+            # scratch threads the recurrence across chunks and both passes
+            grid=(groups_pad // G, 2 * n_chunks),
+            in_specs=[stream_spec] * 6,
             out_specs=(stream_spec, stream_spec),
             scratch_shapes=[pltpu.VMEM((2, G, LANE), dtype)],
         ),
         interpret=interpret,
-    )(params, engine, vloc_a_p, kprev_a_p, ds_a_p, vloc_d_p, kprev_d_p, ds_d_p, init_p)
-    return _from_groups(out_a, B, N), _from_groups(out_d, B, N)
+    )(params, engine, *streams)
+    return _from_groups(out_a, B), _from_groups(out_d, B)
 
 
 def solve_profile_batch(
@@ -234,8 +237,8 @@ def solve_profile_batch(
     """Batched 3-pass profile with a single fused Pallas program per batch group.
 
     Semantics match `ops.velocity.solve_profile` vmapped over candidates
-    (oracle-tested); the roll/flip bookkeeping stays in XLA (cheap gathers),
-    while both sequential sweeps run fused in one kernel.
+    (oracle-tested).  All bookkeeping is elementwise or constant-shift —
+    no argmin, no per-candidate gathers (see module docstring).
     """
     from lap_time_optimization_tpu.ops.velocity import local_limit
 
@@ -245,41 +248,28 @@ def solve_profile_batch(
     s_max = jnp.broadcast_to(jnp.asarray(s_max, dtype), (B,))
 
     v_local = local_limit(vehicle, k_abs)
-    i0 = jnp.argmin(v_local, axis=1)  # (B,)
-
-    def roll_rows(x, shift):
-        return jax.vmap(lambda row, sh: jnp.roll(row, sh))(x, shift)
-
-    sr = roll_rows(s, -i0)
-    kr = roll_rows(k_abs, -i0)
-    vr = roll_rows(v_local, -i0)
-
     params, engine, pacejka = _pack_vehicle(vehicle, dtype)
     neg = jnp.asarray(-1.0, dtype)
 
-    ds_a = jnp.mod(sr - jnp.roll(sr, 1, axis=1), s_max[:, None])
-    if not closed:
+    ds_raw = s - jnp.roll(s, 1, axis=1)  # constant shift: cheap slices
+    if closed:
+        ds_a = jnp.mod(ds_raw, s_max[:, None])
+    else:
         idx = jnp.arange(N)[None, :]
-        wrap = jnp.mod(-i0, N)[:, None]
-        ds_a = jnp.where(idx == wrap, neg, sr - jnp.roll(sr, 1, axis=1))
-    kprev_a = jnp.roll(kr, 1, axis=1)
+        ds_a = jnp.where(idx == 0, neg, ds_raw)  # seam restarts the chain
+    kprev_a = jnp.roll(k_abs, 1, axis=1)
 
-    sf = jnp.flip(sr, axis=1)
-    kf = jnp.flip(kr, axis=1)
-    vf = jnp.flip(vr, axis=1)
-    ds_d = jnp.mod(jnp.roll(sf, 1, axis=1) - sf, s_max[:, None])
-    if not closed:
+    sf = jnp.flip(s, axis=1)
+    vloc_d = jnp.flip(v_local, axis=1)
+    kprev_d = jnp.roll(jnp.flip(k_abs, axis=1), 1, axis=1)
+    ds_raw_d = jnp.roll(sf, 1, axis=1) - sf
+    if closed:
+        ds_d = jnp.mod(ds_raw_d, s_max[:, None])
+    else:
         idx = jnp.arange(N)[None, :]
-        ds_d = jnp.where(idx == i0[:, None], neg, jnp.roll(sf, 1, axis=1) - sf)
-    kprev_d = jnp.roll(kf, 1, axis=1)
-
-    # sweep seeds: the sequential pass starts its carry at the last element of
-    # each (rolled / flipped) stream — vr[N-1] for acc, vf[N-1] = vr[0] for dec
-    init = jnp.stack([vr[:, -1], vf[:, -1]])
+        ds_d = jnp.where(idx == 0, neg, ds_raw_d)
 
     v_acc, v_dec_f = _fused_solve(
-        params, engine, vr, kprev_a, ds_a, vf, kprev_d, ds_d, init, pacejka, interpret
+        params, engine, v_local, kprev_a, ds_a, vloc_d, kprev_d, ds_d, pacejka, interpret
     )
-    v_acc = roll_rows(v_acc, i0)
-    v_dec = roll_rows(jnp.flip(v_dec_f, axis=1), i0)
-    return jnp.minimum(v_acc, v_dec)
+    return jnp.minimum(v_acc, jnp.flip(v_dec_f, axis=1))

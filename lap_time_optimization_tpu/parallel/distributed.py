@@ -8,11 +8,14 @@ code (`parallel.mesh`) — per-host process boundaries are invisible to the
 program, XLA routes dp collectives over ICI within a slice and DCN across
 slices.
 
-Coverage honesty: only the single-process no-op path is exercised by tests
-(tests/test_parallel.py) — this environment has one host and one chip.  The
-multi-host path is contract-only: it forwards to `jax.distributed.initialize`
-and builds the mesh from `jax.devices()`, which is the standard recipe, but
-no CI here has ever run it across ≥2 real hosts.
+Coverage: the single-process no-op path is exercised by tests/test_parallel.py;
+the multi-PROCESS path runs for real in tests/test_distributed.py — two OS
+processes (4 virtual CPU devices each) join through
+`jax.distributed.initialize` into one 8-device global mesh, and the
+sp-sharded velocity solver's ppermute/all_gather collectives cross the
+process boundary every sweep.  That is the same runtime path 2 TPU hosts on
+DCN take; what remains untestable here is only the physical transport
+(this environment has one host and one chip).
 """
 
 from __future__ import annotations

@@ -63,3 +63,31 @@ class TestOnChipF32:
         res = racing_line.minimise_lap_time(buckmore99, tbr18, max_iter=300)
         lap, _, _, _ = racing_line.evaluate_jit(buckmore99, tbr18, res.x)
         assert float(lap) < 40.892
+
+
+class TestPallasKernelOnChip:
+    def test_fused_kernel_matches_scan_compiled(self, buckmore99, tbr18):
+        """The COMPILED (non-interpret) fused dual-sweep kernel vs the
+        sequential scan on the chip — the CPU tier only covers interpret
+        mode.  51× faster than the vmapped scan at B=1024 (PERFORMANCE.md);
+        here a modest batch bounds test time."""
+        from lap_time_optimization_tpu.ops import pallas_velocity, spline, velocity
+
+        sp = buckmore99.mid_spline()
+        s = jnp.linspace(0.0, sp.length, buckmore99.ns)[:-1]
+        k = spline.curvature(sp, s, signed=False)
+        B = 256
+        kb = k[None, :] * jax.random.uniform(jax.random.PRNGKey(0), (B, 1), k.dtype, 0.8, 1.2)
+        got = pallas_velocity.solve_profile_batch(tbr18, s, kb, sp.length, closed=True)
+        ref = jax.vmap(lambda kr: velocity.solve_profile(tbr18, s, kr, sp.length, closed=True))(kb)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
+
+    def test_batch_lap_times_pallas_solver(self, buckmore99, tbr18):
+        """solver='pallas' in the batched search evals agrees with the scan."""
+        from lap_time_optimization_tpu.optim import global_search
+
+        d = buckmore99.n_decongested
+        x = jax.random.uniform(jax.random.PRNGKey(2), (16, d), buckmore99.left.dtype, 0.0, 0.99)
+        t_scan = global_search._batch_lap_times(buckmore99, tbr18, x, "scan")
+        t_pal = global_search._batch_lap_times(buckmore99, tbr18, x, "pallas")
+        np.testing.assert_allclose(np.asarray(t_pal), np.asarray(t_scan), rtol=1e-4)
