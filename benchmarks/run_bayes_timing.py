@@ -53,7 +53,8 @@ def main():
             re_eval, *_ = global_search.evaluate_decongested_jit(track, vehicle, alphas)
             runs[phase] = {"wall_s": round(wall, 1),
                            "lap_s": round(float(re_eval), 3),
-                           "rounds": int(info["rounds"])}
+                           "rounds": int(info["rounds"]),
+                           "timings": info.get("timings", {})}
             print(f"{name} {phase}: re-eval={float(re_eval):.3f} "
                   f"rounds={info['rounds']} wall={wall:.1f}s", flush=True)
         results[name] = runs

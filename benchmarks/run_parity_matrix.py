@@ -111,8 +111,11 @@ def main():
     if os.path.isfile(args.out):
         results = json.load(open(args.out)).get("columns", {})
     only = set(args.only.split(",")) if args.only else None
-    meta = dict(
-        track="buckmore", width=0.99, seed=0,
+    meta = dict(track="buckmore", width=0.99, seed=0)
+    # solver/backend/x64 are recorded PER COLUMN (ADVICE r3): columns merged
+    # from an earlier --out run under a different solver/backend keep their
+    # own provenance instead of being mislabeled by a single meta block
+    col_meta = dict(
         backend=jax.devices()[0].platform,
         x64=bool(jax.config.jax_enable_x64),
         solver=args.solver,
@@ -126,6 +129,7 @@ def main():
             ours=got,
             published={**pub, "run_time": PUBLISHED_RUNTIME[(veh_name, method)]},
             lap_ratio=round(ratio, 4),
+            meta=dict(col_meta),
         )
         print(f"{veh_name:6s} {method:11s} lap {got['lap_time']:7.3f} vs {pub['lap_time']:7.3f} "
               f"({(ratio-1)*100:+.2f}%)  run {got['run_time']:.1f}s vs "

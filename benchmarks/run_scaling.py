@@ -62,7 +62,7 @@ def run_cpu():
     print("wrote", out)
 
 
-def run_tpu():
+def run_tpu(batches=(64, 256, 1024, 4096, 8192, 16384)):
     import jax
 
     from lap_time_optimization_tpu.parallel import mesh as pmesh
@@ -72,7 +72,7 @@ def run_tpu():
 
     mesh = pmesh.make_mesh(1, sp=1)
     rows = {}
-    for B in (64, 256, 1024, 4096):
+    for B in batches:
         key = jax.random.PRNGKey(0)
         alphas = jax.random.uniform(key, (B, track.size), track.left.dtype)
         sigma = jnp.asarray(0.1, track.left.dtype)
@@ -102,10 +102,68 @@ def run_tpu():
     print("wrote", out)
 
 
+def run_tpu_nmpc(batches=(32, 128, 512, 1024), steps=20):
+    """Batched closed-loop NMPC solves/s vs batch size, batch-parallel fused
+    kernel vs the XLA vmap path (VERDICT r3 item 2's done-criterion: the
+    batch-size curve with `pallas_ilqr_batch`, including B=128 vs the old
+    4,159 XLA number, and item 4's knee for the serving path)."""
+    import jax
+    import jax.numpy as jnp
+
+    from lap_time_optimization_tpu.models import load_vehicle
+    from lap_time_optimization_tpu.models.bicycle import BicycleModel
+    from lap_time_optimization_tpu.mpc import runner
+    from lap_time_optimization_tpu.mpc import track as mpc_track
+    from lap_time_optimization_tpu.mpc.solver import OCPParams, SolverConfig
+
+    repo = os.path.dirname(OUT_DIR)
+    track = mpc_track.load("MX-5", "buckmore", "curvature", base_dir=os.path.join(repo, "data"))
+    model = BicycleModel(vehicle=load_vehicle("MX5"), track=track)
+    x0 = jnp.asarray(runner.X0_REFERENCE, jnp.float32)
+    p = OCPParams.reference(jnp.float32, lateral_margin=0.05)
+
+    rows = {}
+    for B in batches:
+        x0b = jnp.tile(x0[None], (B, 1)) + 0.01 * jnp.arange(B, dtype=x0.dtype)[:, None]
+        rows[B] = {}
+        for backend in ("pallas", "xla"):
+            cfg = SolverConfig(horizon=10, backend=backend)
+            try:
+                sim = runner.closed_loop_batch(model, p, cfg, x0b, steps)
+                sim.xs.block_until_ready()  # compile + warm
+                t0 = time.perf_counter()
+                sim = runner.closed_loop_batch(model, p, cfg, x0b, steps)
+                sim.xs.block_until_ready()
+                dt = time.perf_counter() - t0
+                rows[B][backend] = dict(
+                    solves_per_s=round(B * steps / dt, 1), wall_s=round(dt, 3)
+                )
+                print(f"B={B} {backend}: {B*steps/dt:.0f} solves/s", flush=True)
+            except Exception as e:
+                rows[B][backend] = dict(error=str(e)[:200])
+                print(f"B={B} {backend}: FAILED {e}", flush=True)
+    out = os.path.join(OUT_DIR, "nmpc_batch_curve_tpu.json")
+    with open(out, "w") as f:
+        json.dump(
+            dict(
+                mode="batched closed-loop NMPC solves/s vs batch size (real TPU)",
+                device=str(jax.devices()[0]),
+                horizon=10, steps_per_run=steps,
+                results={str(k): v for k, v in rows.items()},
+            ),
+            f,
+            indent=2,
+        )
+    print("wrote", out)
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", choices=("cpu", "tpu"), required=True)
-    if ap.parse_args().mode == "cpu":
+    ap.add_argument("--mode", choices=("cpu", "tpu", "tpu-nmpc"), required=True)
+    mode = ap.parse_args().mode
+    if mode == "cpu":
         run_cpu()
-    else:
+    elif mode == "tpu":
         run_tpu()
+    else:
+        run_tpu_nmpc()

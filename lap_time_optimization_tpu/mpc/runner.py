@@ -105,6 +105,23 @@ def _run_chunk(model, p, cfg, carry, steps: int):
 _presolve_jit = partial(jax.jit, static_argnames=("cfg",))(_presolve)
 
 
+def _sim_fingerprint(model, p, cfg, x0) -> str:
+    """Digest of everything that determines a chunked simulation's trajectory
+    besides (steps, chunk): model/track/OCP parameter leaves, the full solver
+    config, and x0.  Stored in the checkpoint so a file written under a
+    different configuration at the same path is ignored instead of silently
+    spliced into this run (ADVICE r3)."""
+    import hashlib
+
+    h = hashlib.sha256()
+    h.update(repr(cfg).encode())
+    for leaf in jax.tree_util.tree_leaves((model, p)):
+        a = np.asarray(leaf)
+        h.update(str(a.dtype).encode() + str(a.shape).encode() + a.tobytes())
+    h.update(np.asarray(x0).tobytes())
+    return h.hexdigest()
+
+
 def closed_loop_chunked(
     model: BicycleModel,
     p: OCPParams,
@@ -139,12 +156,16 @@ def closed_loop_chunked(
     xs_l, us_l, costs_l, viols_l, sdots_l = [], [], [], [], []
     done = 0
     carry = None
+    fingerprint = (
+        _sim_fingerprint(model, p, cfg, x0) if checkpoint_path is not None else ""
+    )
     if checkpoint_path is not None and checkpoint.exists(checkpoint_path):
         state = checkpoint.load(checkpoint_path)
         if (
             int(state["steps"]) == steps
             and int(state["chunk"]) == chunk
             and np.array_equal(state["x0"], np.asarray(x0))
+            and str(state.get("fingerprint", "")) == fingerprint
         ):
             done = int(state["done"])
             carry = tuple(
@@ -176,6 +197,7 @@ def closed_loop_chunked(
             checkpoint.save(
                 checkpoint_path,
                 steps=steps, chunk=chunk, done=done, x0=np.asarray(x0),
+                fingerprint=fingerprint,
                 xs=np.concatenate([np.asarray(a) for a in xs_l]),
                 us=np.concatenate([np.asarray(a) for a in us_l]),
                 costs=np.concatenate([np.asarray(a) for a in costs_l]),
@@ -229,7 +251,6 @@ def _step_fn_batch(model, p, cfg, carry, _):
     return (x_next, us_next, lam_next, u0_b), out
 
 
-@partial(jax.jit, static_argnames=("cfg", "steps"))
 def closed_loop_batch(
     model: BicycleModel,
     p: OCPParams,
@@ -249,7 +270,24 @@ def closed_loop_batch(
     rides the lane dimension), which is what vmapping the single-stream
     kernel could not give (it serializes the batch through one program;
     measured 917 vs 1,528+ solves/s at B=32 in round 2).  On the XLA
-    backend solve_batch IS vmap(solve), preserving the round-2 behavior."""
+    backend solve_batch IS vmap(solve), preserving the round-2 behavior.
+
+    The batch kernel's windowed-table length is derived from the concrete
+    track here (`solver.ensure_batch_window`), so densely sampled tracks or
+    long/fast horizons get a covering window instead of silently clamped
+    rollouts (ADVICE r3)."""
+    cfg = solver_mod.ensure_batch_window(model, cfg)
+    return _closed_loop_batch_jit(model, p, cfg, x0_batch, steps)
+
+
+@partial(jax.jit, static_argnames=("cfg", "steps"))
+def _closed_loop_batch_jit(
+    model: BicycleModel,
+    p: OCPParams,
+    cfg: SolverConfig,
+    x0_batch: jax.Array,
+    steps: int,
+) -> SimResult:
     dtype = x0_batch.dtype
     Bt = x0_batch.shape[0]
     carry0 = _presolve_batch(model, p, cfg, x0_batch)
@@ -285,14 +323,24 @@ def closed_loop_fleet(
     this is the multi-chip serving path replacing the reference's
     one-IPOPT-process-per-simulation workflow (src/mpc.py:140-153).
 
-    The batch must divide evenly by mesh.shape['dp'].  Results are
-    bit-identical to `closed_loop_batch` on one device (tested on the
-    virtual 8-device CPU mesh, tests/test_parallel.py)."""
+    A batch that does not divide mesh.shape['dp'] is padded by repeating the
+    last initial state (a real fleet size is rarely a mesh multiple); the
+    padded instances run as ordinary loop copies and their rows are dropped
+    before returning, so results for the real instances are bit-identical to
+    `closed_loop_batch` on one device (tested on the virtual 8-device CPU
+    mesh, tests/test_parallel.py)."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
+    # derive the batch-kernel window here, while the track is concrete —
+    # inside the shard_map closure everything is traced
+    cfg = solver_mod.ensure_batch_window(model, cfg)
     dp = mesh.shape["dp"]
-    if x0_batch.shape[0] % dp:
-        raise ValueError(f"batch {x0_batch.shape[0]} not divisible by dp={dp}")
+    b = x0_batch.shape[0]
+    pad = (-b) % dp
+    if pad:
+        x0_batch = jnp.concatenate(
+            [x0_batch, jnp.repeat(x0_batch[-1:], pad, axis=0)], axis=0
+        )
 
     # model/p ride in as closed-over constants → replicated to every device;
     # only the initial-state batch is sharded.
@@ -305,7 +353,10 @@ def closed_loop_fleet(
     )
     x0_batch = jax.device_put(x0_batch, NamedSharding(mesh, P("dp")))
     with jax.set_mesh(mesh):
-        return jax.jit(fleet)(x0_batch)
+        res = jax.jit(fleet)(x0_batch)
+    if pad:
+        res = SimResult(*(a[:b] for a in res))
+    return res
 
 
 def tire_logs(model: BicycleModel, xs: jax.Array):

@@ -136,6 +136,14 @@ class SolverConfig:
     # "xla"       — the lax.scan path
     # The kernel requires hessian_mode="gauss_newton".
     backend: str = dataclasses.field(metadata=dict(static=True), default="auto")
+    # Windowed-table length for the BATCH kernel (ops/pallas_ilqr_batch):
+    # each instance sees `window` table samples starting MARGIN samples
+    # behind its current s.  0 = the module default (64, sized for ~1 m
+    # table spacing and a ≤1 s horizon).  Use `ensure_batch_window(model,
+    # cfg)` to derive/validate a sufficient value from the concrete track —
+    # an uncovered horizon makes every line-search rollout clamp at the
+    # window edge and silently diverge from vmap(solve).
+    window: int = dataclasses.field(metadata=dict(static=True), default=0)
 
     @classmethod
     def accurate(cls, horizon: int = 10, dt: float = 0.1) -> "SolverConfig":
@@ -471,6 +479,51 @@ def _resolved_backend(cfg: SolverConfig) -> str:
     return cfg.backend
 
 
+def required_batch_window(model, cfg: SolverConfig) -> int:
+    """Windowed-table samples the batch kernel needs to cover any plausible
+    horizon rollout on this concrete track: MARGIN behind + worst-case travel
+    `horizon·dt·v_cap` ahead, v_cap = 1.5×max(vref) (the tracking objective
+    penalizes 0.6·vref, so accepted rollouts never approach 1.5×; transient
+    line-search candidates beyond it clamp at the edge and are discarded as
+    diverged).  Requires concrete (non-traced) track tables."""
+    import numpy as np
+
+    from lap_time_optimization_tpu.ops.pallas_ilqr_batch import MARGIN
+
+    track = model.track
+    n = track.s_grid.shape[0]
+    ds = float(track.s_max) / (n - 1)
+    v_cap = max(1.5 * float(np.max(np.asarray(track.vref_vals))), 5.0)
+    travel = cfg.horizon * cfg.dt * v_cap
+    need = MARGIN + int(np.ceil(travel / ds)) + 4
+    return max(8, (need + 7) // 8 * 8)  # sublane-aligned
+
+
+def ensure_batch_window(model, cfg: SolverConfig) -> SolverConfig:
+    """Return `cfg` with a batch-kernel window validated against the concrete
+    track (ADVICE r3: WINDOW=64 hard-coded a ~1 m-spacing assumption).  With
+    `cfg.window == 0` the derived sufficient window is filled in; an explicit
+    but insufficient window raises.  No-op on the XLA backend or when the
+    track tables are traced (call from host, as `runner.closed_loop_batch`
+    does)."""
+    if _resolved_backend(cfg) == "xla":
+        return cfg
+    if isinstance(model.track.s_max, jax.core.Tracer):
+        return cfg
+    need = required_batch_window(model, cfg)
+    if cfg.window == 0:
+        from lap_time_optimization_tpu.ops.pallas_ilqr_batch import WINDOW
+
+        return dataclasses.replace(cfg, window=max(need, WINDOW))
+    if cfg.window < need:
+        raise ValueError(
+            f"SolverConfig.window={cfg.window} cannot cover the horizon on "
+            f"this track (needs ≥{need} samples); rollouts would clamp at "
+            f"the window edge and diverge from vmap(solve)"
+        )
+    return cfg
+
+
 def _iterate_xla(model, p, cfg, zs, us, lams, rho, reg):
     """One iLQR iteration on the lax.scan path."""
     ks, Ks, diverged = _backward_pass(model, p, cfg, zs, us, lams, rho, reg)
@@ -607,8 +660,8 @@ def _iterate_pallas_batch(model, p, cfg, zs_b, us_b, lams_b, rho, reg_b, interpr
     zs_new, us_new, cost, ok = PKB.backward_forward_batch(
         A, B, lz, lu, lzz, luu, luz, Vz, Vzz,
         zs_b, us_b, lams_b, tables, alphas, scal, reg_b,
-        N=cfg.horizon, L=cfg.n_linesearch, substeps=cfg.substeps,
-        interpret=interpret,
+        N=cfg.horizon, L=cfg.n_linesearch, W=(cfg.window or PKB.WINDOW),
+        substeps=cfg.substeps, interpret=interpret,
     )
     return cost, zs_new, us_new, ok < 0.5
 
@@ -628,10 +681,17 @@ def solve_batch(
     escalation (parity-tested in tests/test_pallas_ilqr.py) — but on TPU
     the serial Riccati/line-search chains run in the batch-parallel fused
     kernel instead of serializing a vmapped single-instance program.
-    On the XLA backend (or non-GN Hessians) this IS vmap(solve)."""
+    On the XLA backend this IS vmap(solve); non-GN Hessian modes also
+    delegate to vmap(solve), with the backend resolved to "xla" (the fused
+    kernels are Gauss-Newton-only)."""
     dtype = z0_b.dtype
     backend = _resolved_backend(cfg)
     if backend == "xla" or cfg.hessian_mode != "gauss_newton":
+        if backend != "xla":
+            # non-GN Hessians are only supported on the XLA path; resolve the
+            # backend so the inner solve() doesn't reject the combination
+            # (ADVICE r3: the advertised fallback raised instead)
+            cfg = dataclasses.replace(cfg, backend="xla")
         return jax.vmap(lambda z0, us, lam: solve(model, p, cfg, z0, us, lam))(
             z0_b, us_init_b, lam_init_b
         )

@@ -492,7 +492,7 @@ def backward_forward_batch(
         jax.ShapeDtypeStruct((1, 1, Bt), dtype),
         jax.ShapeDtypeStruct((1, 1, Bt), dtype),
     )
-    vspec = pl.BlockSpec(memory_space=pltpu.ANY if interpret else pltpu.VMEM)
+    vspec = pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY if interpret else pltpu.MemorySpace.VMEM)
     zs_new, us_new, cost, ok = pl.pallas_call(
         kernel,
         out_shape=out_shape,

@@ -244,6 +244,12 @@ def _gp_targets(y_data: jax.Array, mask: jax.Array) -> jax.Array:
     its region as poor instead of NaN-ing the Cholesky."""
     finite = jnp.isfinite(y_data) & mask
     worst = jnp.max(jnp.where(finite, y_data, -jnp.inf))
+    # degenerate edge (VERDICT r3 weak #6): if EVERY live observation is
+    # non-finite (an all-bad f32 first batch), `worst` is -inf and the
+    # substitution would poison the Cholesky exactly like the NaNs it guards
+    # against — fall back to 0 targets (a flat GP; the next round's uniform
+    # exploration repopulates the dataset with finite laps)
+    worst = jnp.where(jnp.isfinite(worst), worst, 0.0)
     y = jnp.where(jnp.isfinite(y_data), y_data, worst)
     return jnp.where(mask, y, 0.0)
 
@@ -289,8 +295,13 @@ def bayesian(
     `checkpoint_path` is given, the (X, y, σ-history, key) state is persisted
     every round and interrupted runs resume exactly (SURVEY.md §5
     checkpoint/resume plan — the reference has no persistence at all)."""
+    import time as _time
+
     from lap_time_optimization_tpu.utils import checkpoint as ckpt
     from lap_time_optimization_tpu.utils.profiling import Heartbeat
+
+    timings = {"init": 0.0, "gp_fit": 0.0, "propose": 0.0, "polish": 0.0}
+    _t0 = _time.perf_counter()
 
     hb = Heartbeat(heartbeat_path)
     key = jax.random.PRNGKey(seed)
@@ -305,6 +316,8 @@ def bayesian(
     x_init = jax.random.uniform(k0, (n_init, d), dtype, ALPHA_LO, ALPHA_HI)
     x_data = x_data.at[:n_init].set(x_init)
     y_data = y_data.at[:n_init].set(_batch_lap_times(track, vehicle, x_init, solver))
+    jax.block_until_ready(y_data)
+    timings["init"] = _time.perf_counter() - _t0
     count = n_init
     start_round = 1
     sigma_hist: list[float] = []
@@ -325,6 +338,7 @@ def bayesian(
     for rounds in range(start_round, max_rounds + 1):
         key, kf, kp = jax.random.split(key, 3)
         mask = jnp.arange(cap) < count
+        _t = _time.perf_counter()
         if prev_ell is None:
             model = gp_ops.fit(x_data, _gp_targets(y_data, mask), kf, mask=mask)
         else:
@@ -336,14 +350,20 @@ def bayesian(
                 ell0=prev_ell, n_restarts=2, max_iter=25,
             )
         prev_ell = model.length_scale
+        jax.block_until_ready(prev_ell)
+        timings["gp_fit"] += _time.perf_counter() - _t
+        _t = _time.perf_counter()
         incumbent = x_data[jnp.argmin(y_data)]  # padded rows are +inf
         cands, times = _propose_and_eval(track, vehicle, kp, incumbent, n_local, n_uniform, solver)
         j = jnp.argmin(times)
         w_star = cands[j]
+        jax.block_until_ready(times)
+        timings["propose"] += _time.perf_counter() - _t
         if polish_every and rounds % polish_every == 0:
             # once the search converges the incumbent repeats round after
             # round; polishing the identical point re-burns the full L-BFGS
             # budget for a bitwise-identical answer — memoize it instead
+            _t = _time.perf_counter()
             inc_bytes = np.asarray(incumbent).tobytes()
             if polish_memo is not None and polish_memo[0] == inc_bytes:
                 x_pol, f_pol = polish_memo[1]
@@ -354,6 +374,8 @@ def bayesian(
             better = f_pol < times[j]
             w_star = jnp.where(better, x_pol, w_star)
             times = times.at[j].set(jnp.minimum(times[j], f_pol))
+            jax.block_until_ready(times)
+            timings["polish"] += _time.perf_counter() - _t
         _, sig = gp_ops.predict(model, w_star[None, :])
         sigma_hist.append(float(sig[0]))
         x_data = x_data.at[count].set(w_star)
@@ -376,5 +398,9 @@ def bayesian(
                 break
 
     best = int(jnp.argmin(y_data))
-    info = dict(rounds=rounds, n_samples=count, sigma_history=np.asarray(sigma_hist))
+    timings["total"] = _time.perf_counter() - _t0
+    info = dict(
+        rounds=rounds, n_samples=count, sigma_history=np.asarray(sigma_hist),
+        timings={k: round(v, 3) for k, v in timings.items()},
+    )
     return x_data[best], float(y_data[best]), info

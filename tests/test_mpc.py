@@ -280,6 +280,58 @@ class TestChunkedClosedLoop:
         for a, b in zip(runner.closed_loop_chunked(model, p, cfg, x0, 4, chunk=2), other):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    def test_checkpoint_rejects_config_mismatch(self, model, tmp_path):
+        """A checkpoint written under different OCPParams/SolverConfig at the
+        same path must be ignored (fingerprint mismatch), not spliced into
+        this run's trajectory (ADVICE r3)."""
+        p = OCPParams.reference(jnp.float64, lateral_margin=0.05)
+        cfg = SolverConfig(horizon=10)
+        x0 = jnp.asarray(runner.X0_REFERENCE)
+        cp = str(tmp_path / "sim_checkpoint.npz")
+        runner.closed_loop_chunked(model, p, cfg, x0, 6, chunk=2, checkpoint_path=cp)
+        # same steps/chunk/x0, different solver config → must NOT resume
+        cfg2 = SolverConfig(horizon=10, ilqr_iters=cfg.ilqr_iters + 1)
+        baseline2 = runner.closed_loop_chunked(model, p, cfg2, x0, 6, chunk=2)
+        resumed2 = runner.closed_loop_chunked(model, p, cfg2, x0, 6, chunk=2, checkpoint_path=cp)
+        for a, b in zip(baseline2, resumed2):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_solve_batch_non_gauss_newton_falls_back(self, model):
+        """solve_batch with a Pallas-family backend + non-GN Hessians must
+        delegate to vmap(solve) on the XLA path instead of raising
+        (ADVICE r3)."""
+        from lap_time_optimization_tpu.mpc.solver import n_con, solve_batch
+
+        p = OCPParams.reference(jnp.float64)
+        cfg = SolverConfig(horizon=4, hessian_mode="exact", backend="interpret")
+        x0 = jnp.asarray(runner.X0_REFERENCE)
+        z0_b = jnp.tile(jnp.concatenate([x0, jnp.zeros(2)]), (2, 1))
+        us0 = jnp.zeros((2, 4, NU))
+        lam0 = jnp.zeros((2, 5, n_con(model)))
+        res = solve_batch(model, p, cfg, z0_b, us0, lam0)
+        assert np.all(np.isfinite(np.asarray(res.cost)))
+
+    def test_batch_window_derivation(self, model):
+        """`ensure_batch_window` sizes the batch kernel's table window from
+        the concrete track + horizon (ADVICE r3: WINDOW=64 hard-coded ~1 m
+        spacing); explicit-but-insufficient windows are rejected."""
+        from lap_time_optimization_tpu.mpc import solver as solver_mod
+
+        cfg = SolverConfig(horizon=10, backend="pallas")
+        out = solver_mod.ensure_batch_window(model, cfg)
+        need = solver_mod.required_batch_window(model, cfg)
+        assert out.window >= max(need, 64) and out.window % 8 == 0
+        # a long/fast horizon on the same table spacing needs a larger window
+        cfg_long = SolverConfig(horizon=40, backend="pallas")
+        assert solver_mod.required_batch_window(model, cfg_long) > need
+        with pytest.raises(ValueError):
+            solver_mod.ensure_batch_window(
+                model, SolverConfig(horizon=40, backend="pallas", window=16)
+            )
+        # the XLA backend has no window to validate
+        cfg_xla = SolverConfig(horizon=10, backend="xla", window=16)
+        assert solver_mod.ensure_batch_window(model, cfg_xla) is cfg_xla
+
 
 class TestBrakePreview:
     """`mpc_track.with_brake_preview`: the braking-curve envelope baked into
