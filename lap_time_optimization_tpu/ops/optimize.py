@@ -90,16 +90,176 @@ def lbfgs_stepper(
     return init, run
 
 
+def _two_loop(grad, mem_s, mem_y, mem_rho, count, gamma):
+    """Classic L-BFGS two-loop recursion over a rolling (m, d) buffer.
+
+    `mem_rho[j] = 1/(s_jᵀy_j)` with 0 marking empty or cautious-skipped slots
+    (their terms vanish identically, so slot order among invalid entries is
+    irrelevant).  Iterates most-recent→oldest backward, oldest→most-recent
+    forward, via offsets from the rolling write index."""
+    m = mem_rho.shape[0]
+
+    def bwd(i, carry):
+        q, alpha = carry
+        j = (count - 1 - i) % m  # most recent first
+        a = mem_rho[j] * jnp.dot(mem_s[j], q)
+        return q - a * mem_y[j], alpha.at[j].set(a)
+
+    q, alpha = jax.lax.fori_loop(
+        0, m, bwd, (grad, jnp.zeros(m, grad.dtype))
+    )
+    r = gamma * q
+
+    def fwd(i, r):
+        j = (count - m + i) % m  # oldest first
+        b = mem_rho[j] * jnp.dot(mem_y[j], r)
+        return r + (alpha[j] - b) * mem_s[j]
+
+    return jax.lax.fori_loop(0, m, fwd, r)
+
+
+def lbfgs_ladder_stepper(
+    fun: Callable[[jax.Array], jax.Array],
+    max_iter: int = 200,
+    tol: float = 1e-6,
+    memory_size: int = 15,
+    n_rungs: int = 13,
+    armijo_c: float = 1e-4,
+):
+    """L-BFGS with a *batched best-of-ladder* line search (TPU-first).
+
+    Why this exists: optax's zoom linesearch probes step sizes SEQUENTIALLY —
+    measured on chip, the global-search polish spent ~30 ms per L-BFGS
+    iteration (~15 serial pipeline evaluations) against a ~1.9 ms value+grad
+    cost, i.e. the line search was 94% of the wall time (round-4 probe,
+    PERFORMANCE.md BO subsection).  On a batched accelerator the right shape
+    is to evaluate ALL candidate steps at once: one vmapped objective batch
+    over a geometric ladder η ∈ {2, 1, ½, …, 2^{2-L}} costs roughly the same
+    latency as ONE evaluation (the assoc velocity solver's depth is
+    batch-independent), so each iteration is ~2 evaluation-latencies total:
+    one value+grad at x, one (L,)-batched value sweep of x + η·d.
+
+    Acceptance: the best-decrease rung satisfying Armijo
+    f(x+ηd) ≤ f(x) + c·η·∇fᵀd; if none qualifies, the best strictly-improving
+    rung.  The ladder is *self-centering*: on acceptance the window re-centers
+    around the accepted step (so the next iteration's rungs bracket the
+    objective's current natural step size, extending effective resolution far
+    beyond `n_rungs`); on rejection the whole window shifts down by its span
+    and the iteration retries — the iterate freezes (grad_norm forced to 0 so
+    segment hosts observe convergence) only once the center underflows ~1e-12,
+    i.e. repeated rejections at ever-finer scales found no descent.  The
+    curvature (Wolfe-2) condition is NOT enforced per-step; instead the
+    memory update is *cautious*: a pair with sᵀy ≤ 1e-10·|s||y| is skipped
+    (ρ=0), which keeps the inverse-Hessian approximation PSD — the standard
+    safeguard when pairing L-BFGS with non-Wolfe searches.  A non-descent
+    direction (∇fᵀd ≥ 0, possible right after skipped pairs) falls back to
+    steepest descent scaled by γ.
+
+    Same `(init, run)` segment contract as `lbfgs_stepper` (the ~60 s device
+    program deadline applies equally — see that docstring).
+    """
+    ladder = 2.0 ** (1.0 - jnp.arange(n_rungs))  # 2, 1, 1/2, ..., 2^(2-L)
+    span = 2.0 ** (n_rungs - 2)  # top-rung / bottom-rung ratio
+
+    def init(x0):
+        d = x0.shape[-1]
+        dtype = x0.dtype
+        mem = dict(
+            s=jnp.zeros((memory_size, d), dtype),
+            y=jnp.zeros((memory_size, d), dtype),
+            rho=jnp.zeros(memory_size, dtype),
+            gamma=jnp.asarray(1.0, dtype),
+            count=jnp.asarray(0),
+            center=jnp.asarray(1.0, dtype),  # self-centering ladder scale
+        )
+        f0, g0 = jax.value_and_grad(fun)(x0)
+        return (x0, mem, jnp.asarray(0), jnp.linalg.norm(g0), f0, g0)
+
+    def run(carry, n_steps: int):
+        stop_at = jnp.minimum(carry[2] + n_steps, max_iter)
+
+        def cond(c):
+            _, _, it, gnorm, _, _ = c
+            return (it < stop_at) & (gnorm > tol)
+
+        def body(c):
+            x, mem, it, _, f, g = c
+            dtype = x.dtype
+            direction = -_two_loop(g, mem["s"], mem["y"], mem["rho"],
+                                   mem["count"], mem["gamma"])
+            slope = jnp.dot(g, direction)
+            # fall back to scaled steepest descent on a non-descent direction
+            bad = slope >= 0.0
+            direction = jnp.where(bad, -mem["gamma"] * g, direction)
+            slope = jnp.where(bad, -mem["gamma"] * jnp.dot(g, g), slope)
+            # first iteration: trust-region the unit ball like optax does
+            first = mem["count"] == 0
+            dn = jnp.linalg.norm(direction)
+            scale0 = jnp.where(first & (dn > 1.0), 1.0 / dn, 1.0)
+            etas = (ladder * scale0 * mem["center"]).astype(dtype)
+            f_trial = jax.vmap(lambda e: fun(x + e * direction))(etas)
+            f_trial = jnp.where(jnp.isnan(f_trial), jnp.inf, f_trial)
+            armijo_ok = f_trial <= f + armijo_c * etas * slope
+            # best decrease among Armijo-satisfying rungs (closest rung to the
+            # 1-D minimizer along d); plain argmin if none qualifies
+            best_ok = jnp.argmin(jnp.where(armijo_ok, f_trial, jnp.inf))
+            j_best = jnp.argmin(f_trial)
+            j = jnp.where(jnp.any(armijo_ok), best_ok, j_best)
+            improved = f_trial[j] < f
+            eta = jnp.where(improved, etas[j], 0.0)
+            x_new = x + eta * direction
+            f_new = jnp.where(improved, f_trial[j], f)
+            g_new = jax.grad(fun)(x_new)
+            # self-centering: bracket the accepted step (×4 puts it two rungs
+            # below the top, leaving headroom to grow); on rejection shift the
+            # whole window below its current bottom rung and retry
+            center = jnp.where(
+                improved,
+                jnp.clip(4.0 * etas[j] / scale0, 2.0 ** -24, 1e3),
+                mem["center"] / span,
+            )
+            # cautious memory update: skip pairs with non-positive curvature
+            s = x_new - x
+            y = g_new - g
+            sy = jnp.dot(s, y)
+            ok = (sy > 1e-10 * jnp.linalg.norm(s) * jnp.linalg.norm(y)) & improved
+            idx = mem["count"] % memory_size
+            mem_new = dict(
+                s=mem["s"].at[idx].set(jnp.where(ok, s, 0.0)),
+                y=mem["y"].at[idx].set(jnp.where(ok, y, 0.0)),
+                rho=mem["rho"].at[idx].set(
+                    jnp.where(ok, 1.0 / jnp.where(sy == 0, 1.0, sy), 0.0)),
+                gamma=jnp.where(ok, sy / jnp.dot(y, y), mem["gamma"]),
+                count=mem["count"] + jnp.where(ok, 1, 0),
+                center=center,
+            )
+            # converged only when repeated rejections have pushed the window
+            # to underflow: no descent exists at any representable step
+            dead_end = (~improved) & (center < 1e-12)
+            gnorm = jnp.where(dead_end, 0.0, jnp.linalg.norm(g_new))
+            return (x_new, mem_new, it + 1, gnorm, f_new, g_new)
+
+        return jax.lax.while_loop(cond, body, carry)
+
+    return init, run
+
+
 def minimize_lbfgs(
     fun: Callable[[jax.Array], jax.Array],
     x0: jax.Array,
     max_iter: int = 200,
     tol: float = 1e-6,
     memory_size: int = 15,
+    linesearch: str = "zoom",
 ) -> MinimizeResult:
-    """Unconstrained L-BFGS with zoom linesearch, run to tolerance in-graph."""
-    init, run = lbfgs_stepper(fun, max_iter=max_iter, tol=tol, memory_size=memory_size)
-    params, state, it, gnorm = run(init(x0), max_iter)
+    """Unconstrained L-BFGS run to tolerance in-graph.
+
+    `linesearch`: "zoom" (optax sequential zoom) or "ladder" (batched
+    best-of-ladder — see `lbfgs_ladder_stepper`)."""
+    stepper = lbfgs_ladder_stepper if linesearch == "ladder" else lbfgs_stepper
+    init, run = stepper(fun, max_iter=max_iter, tol=tol, memory_size=memory_size)
+    carry = run(init(x0), max_iter)
+    params, it, gnorm = carry[0], carry[2], carry[3]
     return MinimizeResult(x=params, fun=fun(params), n_iter=it, grad_norm=gnorm)
 
 
@@ -111,11 +271,13 @@ def minimize_bounded(
     max_iter: int = 200,
     tol: float = 1e-6,
     memory_size: int = 15,
+    linesearch: str = "zoom",
 ) -> MinimizeResult:
     """Minimize fun(x) subject to lo <= x <= hi elementwise.
 
     Drop-in for `scipy.optimize.minimize(..., method='L-BFGS-B',
-    bounds=Bounds(lo, hi))` as used throughout the reference.
+    bounds=Bounds(lo, hi))` as used throughout the reference.  `linesearch`
+    as in `minimize_lbfgs`.
     """
     lo = jnp.asarray(lo, x0.dtype)
     hi = jnp.asarray(hi, x0.dtype)
@@ -124,7 +286,8 @@ def minimize_bounded(
     def fun_theta(theta):
         return fun(to_params(theta))
 
-    res = minimize_lbfgs(fun_theta, to_theta(x0), max_iter=max_iter, tol=tol, memory_size=memory_size)
+    res = minimize_lbfgs(fun_theta, to_theta(x0), max_iter=max_iter, tol=tol,
+                         memory_size=memory_size, linesearch=linesearch)
     x = to_params(res.x)
     return MinimizeResult(x=x, fun=res.fun, n_iter=res.n_iter, grad_norm=res.grad_norm)
 
@@ -137,6 +300,7 @@ def bounded_stepper(
     tol: float = 1e-6,
     memory_size: int = 15,
     dtype=jnp.float32,
+    linesearch: str = "zoom",
 ):
     """Segmented variant of `minimize_bounded`: `(init, run, finalize)`.
 
@@ -145,6 +309,10 @@ def bounded_stepper(
     All three are pure and jittable; the host loop between `run` calls bounds
     device-program duration (see `lbfgs_stepper`).  The host can detect
     convergence by carry[2] (iteration count) not advancing.
+
+    `linesearch`: "zoom" (optax sequential zoom — scipy-faithful default) or
+    "ladder" (`lbfgs_ladder_stepper` — batched best-of-ladder, ~6× cheaper
+    per iteration on chip; the global searches' refinement default).
     """
     lo = jnp.asarray(lo, dtype)
     hi = jnp.asarray(hi, dtype)
@@ -153,7 +321,8 @@ def bounded_stepper(
     def fun_theta(theta):
         return fun(to_params(theta))
 
-    init0, run = lbfgs_stepper(fun_theta, max_iter=max_iter, tol=tol, memory_size=memory_size)
+    stepper = lbfgs_ladder_stepper if linesearch == "ladder" else lbfgs_stepper
+    init0, run = stepper(fun_theta, max_iter=max_iter, tol=tol, memory_size=memory_size)
 
     def init(x0):
         return init0(to_theta(x0))

@@ -85,28 +85,33 @@ def compromise_objective(track: Track, alphas: jax.Array, eps: jax.Array) -> jax
 
 
 # --------------------------------------------------------------------------- methods
-@partial(jax.jit, static_argnames=("max_iter",))
-def minimise_curvature(track: Track, max_iter: int = 400) -> optimize.MinimizeResult:
+@partial(jax.jit, static_argnames=("max_iter", "linesearch"))
+def minimise_curvature(track: Track, max_iter: int = 400,
+                       linesearch: str = "zoom") -> optimize.MinimizeResult:
     """Γ²-minimizing path, analytic-gradient L-BFGS (vs src/trajectory.py:60-75)."""
     x0 = jnp.full((track.size,), 0.5, dtype=track.left.dtype)
-    return optimize.minimize_bounded(lambda a: gamma2_objective(track, a), x0, max_iter=max_iter)
+    return optimize.minimize_bounded(lambda a: gamma2_objective(track, a), x0,
+                                     max_iter=max_iter, linesearch=linesearch)
 
 
-@partial(jax.jit, static_argnames=("max_iter",))
-def minimise_compromise(track: Track, eps, max_iter: int = 400) -> optimize.MinimizeResult:
+@partial(jax.jit, static_argnames=("max_iter", "linesearch"))
+def minimise_compromise(track: Track, eps, max_iter: int = 400,
+                        linesearch: str = "zoom") -> optimize.MinimizeResult:
     """(1−ε)Γ² + ε·length (vs src/trajectory.py:77-97)."""
     x0 = jnp.full((track.size,), 0.5, dtype=track.left.dtype)
     eps = jnp.asarray(eps, x0.dtype)
-    return optimize.minimize_bounded(lambda a: compromise_objective(track, a, eps), x0, max_iter=max_iter)
+    return optimize.minimize_bounded(lambda a: compromise_objective(track, a, eps), x0,
+                                     max_iter=max_iter, linesearch=linesearch)
 
 
-@partial(jax.jit, static_argnames=("max_iter",))
-def _compromise_sweep(track: Track, vehicle, eps_grid: jax.Array, max_iter: int = 400):
+@partial(jax.jit, static_argnames=("max_iter", "linesearch"))
+def _compromise_sweep(track: Track, vehicle, eps_grid: jax.Array, max_iter: int = 400,
+                      linesearch: str = "zoom"):
     """Batched: for every ε in the grid, optimize the compromise and score the
     resulting lap time.  Returns (alphas(B,n), lap_times(B,))."""
 
     def solve_one(eps):
-        res = minimise_compromise(track, eps, max_iter=max_iter)
+        res = minimise_compromise(track, eps, max_iter=max_iter, linesearch=linesearch)
         return res.x, lap_time_of(track, vehicle, res.x)
 
     return jax.vmap(solve_one)(eps_grid)
@@ -120,6 +125,7 @@ def minimise_optimal_compromise(
     n_grid: int = 16,
     n_refine: int = 1,
     max_iter: int = 400,
+    linesearch: str = "zoom",
 ):
     """Optimal-ε compromise via vmapped grid sweep + local zoom.
 
@@ -134,7 +140,8 @@ def minimise_optimal_compromise(
     best = None
     for _ in range(1 + n_refine):
         eps_grid = jnp.linspace(lo, hi, n_grid)
-        alphas_b, times_b = _compromise_sweep(track, vehicle, eps_grid, max_iter=max_iter)
+        alphas_b, times_b = _compromise_sweep(track, vehicle, eps_grid,
+                                              max_iter=max_iter, linesearch=linesearch)
         times = np.asarray(times_b)
         history.extend(zip(np.asarray(eps_grid).tolist(), times.tolist()))
         i = int(np.argmin(times))
@@ -148,13 +155,15 @@ def minimise_optimal_compromise(
     return alphas, epsilon, np.asarray(history)
 
 
-@partial(jax.jit, static_argnames=("max_iter",))
-def minimise_lap_time(track: Track, vehicle, max_iter: int = 300) -> optimize.MinimizeResult:
+@partial(jax.jit, static_argnames=("max_iter", "linesearch"))
+def minimise_lap_time(track: Track, vehicle, max_iter: int = 300,
+                      linesearch: str = "zoom") -> optimize.MinimizeResult:
     """Directly minimise lap time through the differentiable profile solver
     (vs src/trajectory.py:128-146, which numerically differentiates the full
     3-pass solve)."""
     x0 = jnp.full((track.size,), 0.5, dtype=track.left.dtype)
-    return optimize.minimize_bounded(lambda a: lap_time_of(track, vehicle, a), x0, max_iter=max_iter)
+    return optimize.minimize_bounded(lambda a: lap_time_of(track, vehicle, a), x0,
+                                     max_iter=max_iter, linesearch=linesearch)
 
 
 # --------------------------------------------------------------------------- corners / estimated
