@@ -63,6 +63,14 @@ def run_cpu():
 
 
 def run_tpu(batches=(64, 256, 1024, 4096, 8192, 16384)):
+    """Single-chip `search_step` throughput vs batch size, per solver.
+
+    "scan" (the sp-shardable sequential 3-pass) is latency-bound: its ~860
+    sequential velocity steps cost seconds per program regardless of B, so
+    evals/s rises with B without a knee in any affordable range.  "pallas"
+    (the fused dual-sweep kernel, the production single-chip path) removes
+    that serial chain; its curve is what exposes the true saturation knee —
+    the per-chip rate a multi-chip mesh would multiply (VERDICT r3 item 4)."""
     import jax
 
     from lap_time_optimization_tpu.parallel import mesh as pmesh
@@ -72,29 +80,48 @@ def run_tpu(batches=(64, 256, 1024, 4096, 8192, 16384)):
 
     mesh = pmesh.make_mesh(1, sp=1)
     rows = {}
-    for B in batches:
-        key = jax.random.PRNGKey(0)
-        alphas = jax.random.uniform(key, (B, track.size), track.left.dtype)
-        sigma = jnp.asarray(0.1, track.left.dtype)
-        with jax.set_mesh(mesh):
-            a = pmesh.shard_batch(mesh, alphas)
-            a, t_best, _ = pmesh.search_step(track, vehicle, a, key, sigma)
-            t_best.block_until_ready()
-            t0 = time.perf_counter()
-            for _ in range(3):
-                key, kr = jax.random.split(key)
-                a, t_best, _ = pmesh.search_step(track, vehicle, a, kr, sigma)
-            t_best.block_until_ready()
-            dt = (time.perf_counter() - t0) / 3
-        rows[B] = dict(evals_per_s=B / dt, sec_per_round=dt)
-        print(f"B={B}: {B/dt:.0f} evals/s ({dt*1e3:.1f} ms/round)")
+    for solver in ("pallas", "scan"):
+        srows = rows[solver] = {}
+        for B in batches:
+            if solver == "scan" and B > 16384:
+                continue  # latency-bound: no knee, just longer programs
+            key = jax.random.PRNGKey(0)
+            alphas = jax.random.uniform(key, (B, track.size), track.left.dtype)
+            sigma = jnp.asarray(0.1, track.left.dtype)
+            reps = 8 if solver == "pallas" else 3
+            try:
+                with jax.set_mesh(mesh):
+                    a = pmesh.shard_batch(mesh, alphas)
+                    a, t_best, _ = pmesh.search_step(track, vehicle, a, key, sigma,
+                                                     solver=solver)
+                    t_best.block_until_ready()
+                    # best-of-reps: the axon tunnel adds multi-100-ms jitter to
+                    # individual dispatches, so a mean overstates steady state.
+                    # Sync via a device→host transfer — on this backend
+                    # block_until_ready can acknowledge before execution
+                    # drains, but a value readback cannot.
+                    _ = float(t_best)
+                    dt = float("inf")
+                    for _i in range(reps):
+                        key, kr = jax.random.split(key)
+                        t0 = time.perf_counter()
+                        a, t_best, _ = pmesh.search_step(track, vehicle, a, kr, sigma,
+                                                         solver=solver)
+                        _ = float(t_best)
+                        dt = min(dt, time.perf_counter() - t0)
+                srows[str(B)] = dict(evals_per_s=B / dt, sec_per_round=dt)
+                print(f"{solver:6s} B={B}: {B/dt:.0f} evals/s ({dt*1e3:.1f} ms/round)",
+                      flush=True)
+            except Exception as e:
+                srows[str(B)] = dict(error=str(e)[:200])
+                print(f"{solver:6s} B={B}: FAILED {e}", flush=True)
     out = os.path.join(OUT_DIR, "scaling_tpu_1chip.json")
     with open(out, "w") as f:
         json.dump(
             dict(
-                mode="single-chip throughput anchor (real TPU)",
+                mode="single-chip throughput anchor (real TPU), per solver",
                 device=str(jax.devices()[0]),
-                results={str(k): v for k, v in rows.items()},
+                results=rows,
             ),
             f,
             indent=2,

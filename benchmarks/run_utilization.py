@@ -51,17 +51,22 @@ def slope_time(make_fn, reps=(3, 13), warmup=True):
     """Wall time of a jitted fori_loop program at two rep counts →
     (per-rep slope seconds, per-program intercept seconds)."""
     import jax
+    import numpy as _np
+
+    def _sync(out):
+        # device→host readback of one leaf: on this backend
+        # block_until_ready can acknowledge mesh-sharded outputs before
+        # execution drains; a value readback cannot (see run_scaling.py)
+        _np.asarray(jax.tree_util.tree_leaves(out)[0])
 
     fns = {n: make_fn(n) for n in reps}
     ts = {}
     for n, fn in fns.items():
-        out = fn()
-        jax.block_until_ready(out)  # compile
+        _sync(fn())  # compile
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            out = fn()
-            jax.block_until_ready(out)
+            _sync(fn())
             best = min(best, time.perf_counter() - t0)
         ts[n] = best
     n0, n1 = reps
@@ -160,18 +165,21 @@ def main():
 
     def make_search(n):
         @jax.jit
-        def run():
+        def run_inner():
             def body(i, carry):
                 a, k = carry
                 k, kr = jax.random.split(k)
                 a, t, _ = pmesh.search_step(rtrack, vehicle, a, kr, sigma)
                 return a, k
+            return jax.lax.fori_loop(0, n, body, (alphas, key))
+
+        def run():  # set_mesh must wrap the jit CALL, not live inside the trace
             with jax.set_mesh(mesh):
-                return jax.lax.fori_loop(0, n, body, (alphas, key))
+                return run_inner()
         return run
 
+    slope, intercept = slope_time(make_search)
     with jax.set_mesh(mesh):
-        slope, intercept = slope_time(make_search)
         one_s = jax.jit(lambda: pmesh.search_step(rtrack, vehicle, alphas, key, sigma)[1])
         ca = cost_analysis(one_s)
     flops = ca.get("flops")

@@ -38,15 +38,41 @@ def make_mesh(n_devices: int | None = None, sp: int = 2) -> Mesh:
     return Mesh(arr, axis_names=("dp", "sp"))
 
 
-def batch_lap_times(track: Track, vehicle, alphas_batch: jax.Array) -> jax.Array:
-    """Lap time per candidate, with the sample axis sharding-hinted to 'sp'."""
+def batch_lap_times(track: Track, vehicle, alphas_batch: jax.Array,
+                    solver: str = "scan") -> jax.Array:
+    """Lap time per candidate, with the sample axis sharding-hinted to 'sp'.
+
+    `solver` picks the velocity-profile schedule (as in
+    `global_search._batch_lap_times`): "scan" is the sequential oracle-exact
+    3-pass (the sp-shardable multi-chip default); "assoc" the log-depth
+    associative variant; "pallas" the fused dual-sweep kernel (TPU only,
+    forward-only, single-chip) — the production single-chip search path.
+    The scan program's ~860-step serial chain costs seconds of pure latency
+    per round *independent of batch size* (measured: B=64 and B=16384 rounds
+    both ~3-5 s), which is why the throughput anchor and the bayes proposals
+    route through the kernel."""
+    if solver == "pallas":
+        from lap_time_optimization_tpu.ops import pallas_velocity
+
+        def geometry(alphas):
+            sp_ = track.path_spline(alphas)
+            s = jnp.linspace(0.0, sp_.length, track.ns)
+            k = spline.curvature(sp_, s[:-1], signed=False)
+            return s, k, sp_.length
+
+        s_b, k_b, len_b = jax.vmap(geometry)(alphas_batch)
+        v = pallas_velocity.solve_profile_batch(vehicle, s_b[:, :-1], k_b, len_b, track.closed)
+        return jax.vmap(velocity.lap_time)(s_b, v)
 
     def one(alphas):
         sp_ = track.path_spline(alphas)
         s = jnp.linspace(0.0, sp_.length, track.ns)
         k = spline.curvature(sp_, s[:-1], signed=False)
         k = jax.lax.with_sharding_constraint(k, P("sp")) if _in_mesh() else k
-        v = velocity.solve_profile(vehicle, s[:-1], k, sp_.length, track.closed)
+        if solver == "assoc":
+            v = velocity.solve_profile_parallel(vehicle, s[:-1], k, sp_.length, track.closed)
+        else:
+            v = velocity.solve_profile(vehicle, s[:-1], k, sp_.length, track.closed)
         return velocity.lap_time(s, v)
 
     return jax.vmap(one)(alphas_batch)
@@ -60,18 +86,19 @@ def _in_mesh() -> bool:
         return False
 
 
-@partial(jax.jit, static_argnames=("elite",), donate_argnums=(2,))
+@partial(jax.jit, static_argnames=("elite", "solver"), donate_argnums=(2,))
 def search_step(track: Track, vehicle, alphas_batch: jax.Array, key: jax.Array,
-                sigma: jax.Array, elite: int = 8):
+                sigma: jax.Array, elite: int = 8, solver: str = "scan"):
     """One sharded evolution-strategy round over the candidate batch.
 
     Evaluate all candidates (dp-sharded), pick the elite set, and resample the
     batch as elite + Gaussian exploration.  This is the 'full training step'
     shape used for multi-chip validation: per-chip compute + cross-chip
-    argmin/all-gather collectives every round.
+    argmin/all-gather collectives every round.  `solver` as in
+    `batch_lap_times` ("pallas" = single-chip production path).
     """
     B, d = alphas_batch.shape
-    times = batch_lap_times(track, vehicle, alphas_batch)
+    times = batch_lap_times(track, vehicle, alphas_batch, solver)
     order = jnp.argsort(times)
     elites = alphas_batch[order[:elite]]  # gathers across shards
     k1, k2 = jax.random.split(key)
@@ -97,11 +124,13 @@ def evolutionary_search(
     sigma: float = 0.08,
     elite: int = 8,
     seed: int = 0,
+    solver: str = "scan",
 ):
     """Mesh-sharded global racing-line search (full-alpha parameterization).
 
     Returns (best_alphas, best_time_history).  On a 1-device mesh this is the
     single-chip batched search; on N devices the batch shards dp-wise.
+    `solver` as in `batch_lap_times`.
     """
     key = jax.random.PRNGKey(seed)
     key, k0 = jax.random.split(key)
@@ -115,7 +144,8 @@ def evolutionary_search(
         sig = jnp.asarray(sigma, dtype)
         for _ in range(rounds):
             key, kr = jax.random.split(key)
-            alphas, t_best, a_best = search_step(track, vehicle, alphas, kr, sig, elite=elite)
+            alphas, t_best, a_best = search_step(track, vehicle, alphas, kr, sig,
+                                                 elite=elite, solver=solver)
             best_hist.append(float(t_best))
             best_alphas = a_best
             sig = sig * 0.9

@@ -110,6 +110,20 @@ class TestPallasKernelOnChip:
         t_pal = global_search._batch_lap_times(buckmore99, tbr18, x, "pallas")
         np.testing.assert_allclose(np.asarray(t_pal), np.asarray(t_scan), rtol=1e-4)
 
+    def test_search_step_pallas_solver(self, buckmore99, tbr18):
+        """`parallel.mesh.batch_lap_times(solver='pallas')` (the single-chip
+        production path of the evolution-strategy search and the throughput
+        anchor, round 4) agrees with the sequential scan over full-alpha
+        candidates."""
+        from lap_time_optimization_tpu.parallel import mesh as pmesh
+
+        x = jax.random.uniform(
+            jax.random.PRNGKey(3), (16, buckmore99.size), buckmore99.left.dtype
+        )
+        t_scan = pmesh.batch_lap_times(buckmore99, tbr18, x, "scan")
+        t_pal = pmesh.batch_lap_times(buckmore99, tbr18, x, "pallas")
+        np.testing.assert_allclose(np.asarray(t_pal), np.asarray(t_scan), rtol=1e-4)
+
 
 class TestOnChipEndurance:
     def test_three_lap_endurance_f32_h10(self):
