@@ -66,10 +66,13 @@ def test_two_process_global_mesh_velocity_parity():
         # virtual 8-device mesh in tests/test_parallel.py): 16 Jacobi
         # sweeps vs one sequential scan differ by f32 accumulation only,
         # ~2e-3 absolute on 20–45 m/s velocities (≈5e-5 relative).
-        # fleet: shard_map split of independent loops — bitwise vs the
-        # local batch on the same rows.  dp: sharded reductions reorder
-        # float ops in the refinement, so best-lap parity is relative.
-        for leg, tol in (("SP", 5e-3), ("FLEET", 1e-6), ("DP", 1e-3)):
+        # fleet: shard_map split of independent loops vs the local batch on
+        # the same rows — NOT guaranteed bitwise: the per-shard batch shape
+        # (B/2 vs B) changes XLA's batched codegen, so rows can differ by
+        # f32 rounding (observed ~2e-6 relative on this host).  dp: sharded
+        # reductions reorder float ops in the refinement, so best-lap
+        # parity is relative.
+        for leg, tol in (("SP", 5e-3), ("FLEET", 1e-5), ("DP", 1e-3)):
             marker = f"WORKER_OK_{leg}"
             assert marker in out, f"worker {i} missing {marker}:\n{out}"
             err = float(out.split(marker)[1].split()[0])
