@@ -41,7 +41,11 @@ def main():
     p = OCPParams.reference(jnp.float32, lateral_margin=0.05)
     cfg = SolverConfig(horizon=10)  # backend="auto": fused Pallas kernel on TPU
 
-    steps = int(os.environ.get("LTO_BENCH_STEPS", "50"))
+    # 200 steps amortize the axon tunnel's ~30 ms per-program dispatch to <2%
+    # of wall (the whole loop is ONE scan program): 50 steps measured 219 Hz,
+    # 200 → 247 Hz, 500 → 252 Hz — 200 is within 2% of the asymptote while
+    # keeping the bench under a second of device time.
+    steps = int(os.environ.get("LTO_BENCH_STEPS", "200"))
     # warmup/compile
     sim = runner.closed_loop(model, p, cfg, x0, steps)
     sim.xs.block_until_ready()
