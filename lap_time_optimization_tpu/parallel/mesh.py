@@ -54,6 +54,22 @@ def batch_lap_times(track: Track, vehicle, alphas_batch: jax.Array,
     if solver == "pallas":
         from lap_time_optimization_tpu.ops import pallas_velocity
 
+        try:
+            am = jax.sharding.get_abstract_mesh()
+            mesh_devices = int(np.prod([s for _, s in am.shape_tuple])) if am.shape_tuple else 1
+        except Exception:
+            mesh_devices = 1
+        if mesh_devices > 1:
+            # a pallas_call under pjit does not partition over the dp axis —
+            # XLA would gather the batch onto one device, silently defeating
+            # the mesh.  Multi-chip fan-out belongs in shard_map (see
+            # sp_velocity) or per-shard single-chip searches; fail loudly.
+            raise ValueError(
+                "solver='pallas' is the single-chip production path; under a "
+                f"{mesh_devices}-device mesh use solver='scan'/'assoc' (dp/sp "
+                "shardable) or shard_map per-chip searches instead"
+            )
+
         def geometry(alphas):
             sp_ = track.path_spline(alphas)
             s = jnp.linspace(0.0, sp_.length, track.ns)

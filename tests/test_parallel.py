@@ -47,6 +47,19 @@ class TestMesh:
         # elitism: slot 0 carries the incumbent
         np.testing.assert_allclose(np.asarray(new_batch[0]), np.asarray(a_best))
 
+    def test_pallas_solver_rejected_under_multi_device_mesh(
+        self, eight_devices, buckmore, tbr18, rng
+    ):
+        """solver='pallas' is single-chip only: under a multi-device mesh the
+        kernel would gather the dp-sharded batch onto one device and silently
+        defeat the mesh, so batch_lap_times must fail loudly instead."""
+        alphas = jnp.asarray(rng.uniform(0.2, 0.8, size=(16, buckmore.size)))
+        mesh = pmesh.make_mesh(8, sp=2)
+        with jax.set_mesh(mesh):
+            a_sharded = pmesh.shard_batch(mesh, alphas)
+            with pytest.raises(ValueError, match="single-chip"):
+                pmesh.batch_lap_times(buckmore, tbr18, a_sharded, "pallas")
+
     @pytest.mark.slow
     def test_evolutionary_search_improves(self, eight_devices, buckmore, tbr18):
         _, hist = pmesh.evolutionary_search(
