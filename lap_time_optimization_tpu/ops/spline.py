@@ -12,9 +12,15 @@ Math: an interpolating periodic C² cubic spline with knots at the data sites is
 unique, so for closed tracks this module reproduces FITPACK's `per=1`
 interpolant exactly (up to roundoff).  We solve the classic "moment" (second
 derivative) formulation: a cyclic tridiagonal system for closed curves and a
-not-a-knot system for open curves.  The dense solve is O(n³) but n is the
-control-point count (~130); batched over thousands of candidates it maps onto
-the MXU as one batched LU — far better on TPU than a sequential Thomas scan.
+not-a-knot system for open curves.  Closed curves use an O(n) cyclic Thomas +
+Sherman–Morrison solve (`_cyclic_moments_tridiag`): round 1 chose a dense
+O(n³) LU on an "MXU-friendly batched solve" argument, but the round-5 A/B at
+the saturated search knee (benchmarks/spline_ab_tpu.json) measured the
+structured solve at 1.81× the dense search_step throughput (8,005 vs 4,434
+evals/s at B=4096) — XLA lowers batched LU to latency-bound triangular-solve
+chains, while the Thomas scan's 2n elementwise steps vectorize across the
+whole candidate batch.  Open curves keep the dense solve (two
+non-tridiagonal boundary rows; never in the batched hot path).
 
 Evaluation gathers the bracketing interval with `searchsorted` and evaluates
 the cubic in Hermite/moment form; derivatives are analytic.
@@ -106,8 +112,78 @@ def _notaknot_moment_system(p: jax.Array, h: jax.Array):
     return A, rhs
 
 
-@partial(jax.jit, static_argnames=("closed",))
-def fit(points: jax.Array, closed: bool) -> Spline2D:
+def _thomas(dl: jax.Array, dm: jax.Array, du: jax.Array, rhs: jax.Array) -> jax.Array:
+    """Pivot-free Thomas solve of tridiag(dl, dm, du) @ x = rhs.
+
+    dl/dm/du: (n,) sub/main/super diagonals (dl[0], du[n-1] ignored);
+    rhs: (n, k).  O(n) and vmappable: under vmap each of the 2n scan steps
+    is one fused elementwise op over the batch lanes — the structured
+    alternative to the O(n³) dense solve (VERDICT r4 item 5).  No pivoting:
+    valid for the strictly diagonally dominant spline moment systems
+    ((h₋+h₊)/3 > h₋/6 + h₊/6 always)."""
+    dtype = dm.dtype
+    k = rhs.shape[1]
+
+    def fwd(carry, inp):
+        cp_prev, dp_prev = carry
+        a, b, c, d = inp
+        denom = b - a * cp_prev
+        cp = c / denom
+        dp = (d - a * dp_prev) / denom
+        return (cp, dp), (cp, dp)
+
+    init = (jnp.zeros((), dtype), jnp.zeros((k,), dtype))
+    _, (cps, dps) = jax.lax.scan(fwd, init, (dl, dm, du, rhs))
+
+    def bwd(x_next, inp):
+        cp, dp = inp
+        x = dp - cp[None] * x_next
+        return x, x
+
+    _, xs = jax.lax.scan(bwd, jnp.zeros((k,), dtype), (cps, dps), reverse=True)
+    return xs
+
+
+def _cyclic_thomas(a: jax.Array, b: jax.Array, c: jax.Array, rhs: jax.Array) -> jax.Array:
+    """Solve the cyclic tridiagonal system with wrap entries a[0] (col n-1 of
+    row 0) and c[n-1] (col 0 of row n-1) via Sherman–Morrison: write
+    A = T + u vᵀ with a pure tridiagonal T, solve T[y q] = [rhs u] in ONE
+    Thomas pass, and correct x = y − q (v·y)/(1 + v·q)."""
+    dtype = b.dtype
+    k = rhs.shape[1]
+    gamma = -b[0]
+    bm = b.at[0].add(-gamma).at[-1].add(-c[-1] * a[0] / gamma)
+    u = jnp.zeros_like(b).at[0].set(gamma).at[-1].set(c[-1])
+    sol = _thomas(a, bm, c, jnp.concatenate([rhs, u[:, None]], axis=1))
+    y, q = sol[:, :k], sol[:, k]
+    v_dot_y = y[0] + (a[0] / gamma) * y[-1]  # (k,)
+    v_dot_q = q[0] + (a[0] / gamma) * q[-1]  # scalar
+    return y - q[:, None] * (v_dot_y / (1.0 + v_dot_q))[None, :]
+
+
+def _cyclic_moments_tridiag(p: jax.Array, h: jax.Array) -> jax.Array:
+    """Periodic moment solve in O(n) (same system as `_cyclic_moment_system`,
+    solved structured instead of dense).  Returns M of shape (2, n)."""
+    n = h.shape[0]
+    idx = jnp.arange(n)
+    im1 = (idx - 1) % n
+    ip1 = (idx + 1) % n
+    h_im1 = h[im1]
+    rhs = (p[:, ip1] - p) / h - (p - p[:, im1]) / h_im1  # (2, n)
+    return _cyclic_thomas(h_im1 / 6.0, (h_im1 + h) / 3.0, h / 6.0, rhs.T).T
+
+
+#: Moment-solve algorithm for CLOSED splines: "tridiag" (O(n) cyclic Thomas +
+#: Sherman–Morrison) or "dense" (O(n³) LU, the round-1 choice).  Measured at
+#: the saturated search knee (benchmarks/run_spline_ab.py →
+#: spline_ab_tpu.json): tridiag 1.81× at B=4096 (8,005 vs 4,434 evals/s) and
+#: 1.63× at B=1024 — hence the default.  NOTE: jitted callers bake the
+#: module default in at trace time; flip it only before the first trace (or
+#: pass `method=` / `jax.clear_caches()` as run_spline_ab.py does).
+FIT_METHOD_CLOSED = "tridiag"
+
+
+def fit(points: jax.Array, closed: bool, method: str | None = None) -> Spline2D:
     """Fit an interpolating cubic spline through `points` (2, n_pts).
 
     Chord-length parameterized, matching the reference's
@@ -115,15 +191,27 @@ def fit(points: jax.Array, closed: bool) -> Spline2D:
     (src/path.py:20-26).  For closed curves the last point must duplicate the
     first (as the reference's `Track.control_points` guarantees); the duplicate
     defines the period and is otherwise ignored, like FITPACK's `per=1`.
+
+    `method` overrides the closed-spline moment solve ("tridiag"/"dense",
+    default `FIT_METHOD_CLOSED`); the two agree to roundoff (tested) so this
+    only matters for performance (benchmarks/run_spline_ab.py).
     """
+    return _fit_jit(points, closed, method or FIT_METHOD_CLOSED)
+
+
+@partial(jax.jit, static_argnames=("closed", "method"))
+def _fit_jit(points: jax.Array, closed: bool, method: str) -> Spline2D:
     points = jnp.asarray(points)
     t = chord_lengths(points)
     if closed:
         n = points.shape[1] - 1
         p = points[:, :n]
         h = jnp.diff(t)  # (n,)
-        A, rhs = _cyclic_moment_system(p, h)
-        M = jnp.linalg.solve(A, rhs.T).T  # (2, n)
+        if method == "tridiag":
+            M = _cyclic_moments_tridiag(p, h)  # (2, n)
+        else:
+            A, rhs = _cyclic_moment_system(p, h)
+            M = jnp.linalg.solve(A, rhs.T).T  # (2, n)
         ip1 = (jnp.arange(n) + 1) % n
         return Spline2D(
             tk=t,

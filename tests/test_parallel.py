@@ -207,3 +207,36 @@ class TestShardedNonlinear:
         # so results are comparable (SURVEY §7 reproducibility gate), not
         # bit-identical: same candidates, lap times within 0.1%%
         np.testing.assert_allclose(f2, f1, rtol=1e-3)
+
+
+class TestTwoAxisSearch:
+    """VERDICT r4 item 8: one workload exercising BOTH mesh axes at once —
+    dp-sharded candidates, each with a genuinely sp-sharded velocity solve."""
+
+    def test_dp_sp_matches_single_device(self, eight_devices, buckmore, tbr18):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from lap_time_optimization_tpu.parallel import mesh as pmesh
+
+        m42 = pmesh.make_mesh(8, sp=2)  # 4 × 2
+        assert m42.shape["dp"] == 4 and m42.shape["sp"] == 2
+        m11 = pmesh.make_mesh(1, sp=1)
+        B = 16
+        key = jax.random.PRNGKey(5)
+        alphas = jax.random.uniform(key, (B, buckmore.size), buckmore.left.dtype)
+        alphas_ref = alphas + 0.0  # search_step donates its batch argument
+        sigma = jnp.asarray(0.1, buckmore.left.dtype)
+        with jax.set_mesh(m11):
+            nb_ref, t_ref, a_ref = pmesh.search_step(
+                buckmore, tbr18, alphas_ref, key, sigma, solver="scan"
+            )
+            nb_ref, t_ref, a_ref = map(np.asarray, (nb_ref, t_ref, a_ref))
+        with jax.set_mesh(m42):
+            a_sh = jax.device_put(alphas, NamedSharding(m42, P("dp", None)))
+            nb2, t2, a2 = pmesh.search_step_dp_sp(
+                buckmore, tbr18, a_sh, key, sigma, m42
+            )
+            nb2, t2, a2 = map(np.asarray, (nb2, t2, a2))
+        np.testing.assert_allclose(float(t2), float(t_ref), rtol=1e-9)
+        np.testing.assert_allclose(a2, a_ref, rtol=1e-9)
+        np.testing.assert_allclose(nb2, nb_ref, atol=1e-7)
