@@ -63,10 +63,14 @@ def main():
     rec = CompileRecorder()
     # attach ONLY to the root "jax" logger: child loggers (e.g.
     # jax._src.compiler) propagate upward, and attaching to both would
-    # double-count every event
+    # double-count every event.  WARNING level, NOT DEBUG: with
+    # jax_log_compiles the compile events log at WARNING, and enabling DEBUG
+    # on the whole jax logger measurably inflates the run it is censusing
+    # (the first full-budget census read 130 s for a polish phase that runs
+    # in ~30 s un-instrumented)
     lg = logging.getLogger("jax")
     lg.addHandler(rec)
-    lg.setLevel(logging.DEBUG)
+    lg.setLevel(logging.WARNING)
 
     from lap_time_optimization_tpu.models import load_vehicle
     from lap_time_optimization_tpu.optim import global_search

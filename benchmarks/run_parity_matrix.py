@@ -56,7 +56,8 @@ def run_method(track, vehicle, method, seed=0, solver="scan", strong=False):
         # --strong: spend the chip's measured idle search capacity (4.4k
         # evals/s saturated, scaling_tpu_1chip.json) on more polish basins —
         # VERDICT r4 item 2 (dominate the published tbr18 cells outright)
-        kw = dict(n_polish_starts=48, n_local=128, n_uniform=128) if strong else {}
+        kw = (dict(n_polish_starts=48, n_local=128, n_uniform=128,
+                   polish_all_rounds=True) if strong else {})
         alphas, _, _ = global_search.bayesian(track, vehicle, seed=seed, solver=solver, **kw)
     elif method == "nonlinear":
         kw = dict(n_random=4096, n_refine=48) if strong else {}

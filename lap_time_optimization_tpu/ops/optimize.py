@@ -334,6 +334,14 @@ def bounded_stepper(
 
     def finalize(carry) -> MinimizeResult:
         x = to_params(carry[0])
+        if linesearch == "ladder":
+            # the ladder carry already holds f(x) (carry[4], maintained every
+            # accepted step as fun_theta(x) == fun(to_params(x))): reuse it
+            # instead of re-tracing a full objective evaluation — the
+            # re-evaluating finalize was the single heaviest compile of a
+            # cold BO run (15.5 s, benchmarks/compile_census_tpu.json)
+            return MinimizeResult(x=x, fun=carry[4], n_iter=carry[2],
+                                  grad_norm=carry[3])
         return MinimizeResult(x=x, fun=fun(x), n_iter=carry[2], grad_norm=carry[3])
 
     return init, run, finalize

@@ -269,6 +269,49 @@ def _gp_targets(y_data: jax.Array, mask: jax.Array) -> jax.Array:
     return jnp.where(mask, y, 0.0)
 
 
+# Per-round glue as a handful of jitted helpers, NOT loose eager ops: on the
+# axon backend every distinct eager op signature compiles its own program on
+# the remote compile service (~0.4-0.6 s each; the round-5 census counted
+# ~40 of them, ~20 s of every cold run).  Each helper compiles once.
+@jax.jit
+def _round_pre(x_data, y_data, count):
+    mask = jnp.arange(x_data.shape[0]) < count
+    incumbent = x_data[jnp.argmin(y_data)]
+    return mask, incumbent
+
+
+@jax.jit
+def _best_candidate(cands, times):
+    j = jnp.argmin(times)
+    return j, cands[j], times[j]
+
+
+@jax.jit
+def _merge_polish(times, j, w_star, x_pol, f_pol):
+    better = f_pol < times[j]
+    w_star = jnp.where(better, x_pol, w_star)
+    t_star = jnp.minimum(times[j], f_pol)
+    return w_star, times.at[j].set(t_star), t_star
+
+
+@jax.jit
+def _record(x_data, y_data, count, w_star, t_star):
+    return x_data.at[count].set(w_star), y_data.at[count].set(t_star)
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _init_seeds(x_data, y_init, k: int):
+    order = jnp.argsort(y_init)
+    return x_data[order[:k]]
+
+
+@partial(jax.jit, static_argnames=("n_init", "k"))
+def _record_init_polish(x_data, y_data, res_x, f_pol, n_init: int, k: int):
+    x_data = x_data.at[n_init:n_init + k].set(res_x)
+    y_data = y_data.at[n_init:n_init + k].set(f_pol)
+    return x_data, y_data, jnp.argmin(f_pol)
+
+
 def _polish(track: Track, vehicle, x0: jax.Array, max_iter: int = 60, solver: str = "scan"):
     """Short gradient refinement of the incumbent (lap time is differentiable
     here, unlike in the reference's COBYLA-only loop).  Host-chunked — see
@@ -401,14 +444,14 @@ def bayesian(
         # the best of k basins.  All k results are real lap times and join
         # the dataset, so the GP and the σ stop-rule see them.
         _t = _time.perf_counter()
-        order = jnp.argsort(y_data[:n_init])
-        seeds = x_data[order[:k_starts]]
+        seeds = _init_seeds(x_data, y_data[:n_init], k_starts)
         res = _refine_chunked(track, vehicle, seeds, polish_iters, grad_solver, batched=True)
         f_pol = jnp.where(jnp.isfinite(res.fun), res.fun, jnp.inf)
-        x_data = x_data.at[n_init:n_init + k_starts].set(res.x)
-        y_data = y_data.at[n_init:n_init + k_starts].set(f_pol)
+        x_data, y_data, b = _record_init_polish(
+            x_data, y_data, res.x, f_pol, n_init, k_starts
+        )
         count = n_init + k_starts
-        b = int(jnp.argmin(f_pol))
+        b = int(b)
         if int(res.n_iter[b]) < polish_iters:  # converged → fixed point
             xb = res.x[b]
             polish_memo[np.asarray(xb).tobytes()] = (xb, f_pol[b])
@@ -426,7 +469,11 @@ def bayesian(
         key = jnp.asarray(resume_state["key"], jnp.uint32)
 
     rounds = start_round - 1
-    prev_ell = None
+    # ell0=1.0 is bitwise-identical to gp.fit's ell0=None default (first
+    # candidate = log 1.0) but keeps the fit's jit signature CONSTANT across
+    # rounds — with None the first round compiled a second gp-fit program on
+    # the remote service (~5 s of cold wall, compile census r5)
+    prev_ell = jnp.asarray(1.0, dtype)
     # Adaptive polish cache (VERDICT r3 item 1), `polish_memo` above: maps a
     # point's bytes to its polished (x, f).  Two kinds of entries: (a) every
     # polished incumbent → its result, so a repeating incumbent is free (r3
@@ -438,7 +485,7 @@ def bayesian(
     # self-cached: the next round's polish legitimately continues the descent.
     for rounds in range(start_round, max_rounds + 1):
         key, kf, kp = jax.random.split(key, 3)
-        mask = jnp.arange(cap) < count
+        mask, incumbent = _round_pre(x_data, y_data, count)  # padded rows +inf
         _t = _time.perf_counter()
         # the grid fit is cheap enough to run in full every round; passing the
         # previous MLE as ell0 keeps a warm incumbent scale in the candidate
@@ -450,10 +497,8 @@ def bayesian(
         jax.block_until_ready(prev_ell)
         timings["gp_fit"] += _time.perf_counter() - _t
         _t = _time.perf_counter()
-        incumbent = x_data[jnp.argmin(y_data)]  # padded rows are +inf
         cands, times = _propose_and_eval(track, vehicle, kp, incumbent, n_local, n_uniform, solver)
-        j = jnp.argmin(times)
-        w_star = cands[j]
+        j, w_star, t_star = _best_candidate(cands, times)
         jax.block_until_ready(times)
         timings["propose"] += _time.perf_counter() - _t
         if polish_every and rounds % polish_every == 0:
@@ -504,15 +549,12 @@ def bayesian(
                     if int(res.n_iter[i2]) < polish_iters:
                         # converged: the output is its own fixed point
                         polish_memo[res_x[i2].tobytes()] = out_i
-            better = f_pol < times[j]
-            w_star = jnp.where(better, x_pol, w_star)
-            times = times.at[j].set(jnp.minimum(times[j], f_pol))
+            w_star, times, t_star = _merge_polish(times, j, w_star, x_pol, f_pol)
             jax.block_until_ready(times)
             timings["polish"] += _time.perf_counter() - _t
         _, sig = gp_ops.predict(model, w_star[None, :])
         sigma_hist.append(float(sig[0]))
-        x_data = x_data.at[count].set(w_star)
-        y_data = y_data.at[count].set(times[j])
+        x_data, y_data = _record(x_data, y_data, count, w_star, t_star)
         count += 1
         if heartbeat_path:
             hb.beat(rounds, best=float(jnp.min(y_data)), n_samples=count)
