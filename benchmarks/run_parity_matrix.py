@@ -40,7 +40,8 @@ PUBLISHED_RUNTIME = {  # README.md:122 / :131 (unspecified CPU host)
 }
 
 
-def run_method(track, vehicle, method, seed=0, solver="scan", strong=False):
+def run_method(track, vehicle, method, seed=0, solver="scan", strong=False,
+               restarts=1):
     import numpy as np
 
     from lap_time_optimization_tpu.optim import global_search, racing_line
@@ -52,16 +53,31 @@ def run_method(track, vehicle, method, seed=0, solver="scan", strong=False):
         alphas, _, _ = racing_line.minimise_optimal_compromise(track, vehicle)
     elif method == "laptime":
         alphas = racing_line.minimise_lap_time(track, vehicle).x
-    elif method == "bayes":
-        # --strong: spend the chip's measured idle search capacity (4.4k
-        # evals/s saturated, scaling_tpu_1chip.json) on more polish basins —
-        # VERDICT r4 item 2 (dominate the published tbr18 cells outright)
-        kw = (dict(n_polish_starts=48, n_local=128, n_uniform=128,
-                   polish_all_rounds=True) if strong else {})
-        alphas, _, _ = global_search.bayesian(track, vehicle, seed=seed, solver=solver, **kw)
-    elif method == "nonlinear":
-        kw = dict(n_random=4096, n_refine=48) if strong else {}
-        alphas, _ = global_search.nonlinear(track, vehicle, seed=seed, solver=solver, **kw)
+    elif method in ("bayes", "nonlinear"):
+        # The global searches are multi-start by nature (the reference's own
+        # bayes/nonlinear each multi-start internally); `restarts` runs the
+        # whole search from `restarts` seeds and keeps the best line, with
+        # run_time = the TOTAL across restarts.  Round-5 measurement
+        # (benchmarks/seed_study_tpu.json + reference_rerun/): single-run
+        # results vary ~0.3% across processes for BOTH frameworks, and a
+        # chip restart costs ~12 s vs ~100-760 s for the reference's, so
+        # restarts are the honest way to spend the speed advantage.
+        # --strong additionally raises per-run budgets (more polish basins).
+        if method == "bayes":
+            kw = (dict(n_polish_starts=48, n_local=128, n_uniform=128,
+                       polish_all_rounds=True) if strong else {})
+            run1 = lambda s: global_search.bayesian(
+                track, vehicle, seed=s, solver=solver, **kw)[0]
+        else:
+            kw = dict(n_random=4096, n_refine=48) if strong else {}
+            run1 = lambda s: global_search.nonlinear(
+                track, vehicle, seed=s, solver=solver, **kw)[0]
+        alphas, best_lap = None, float("inf")
+        for s in range(seed, seed + restarts):
+            a = run1(s)
+            lap_s, *_ = global_search.evaluate_decongested_jit(track, vehicle, a)
+            if float(lap_s) < best_lap:
+                alphas, best_lap = a, float(lap_s)
     else:
         raise ValueError(method)
 
@@ -94,6 +110,9 @@ def main():
                          "associative variant (faster serial loops on TPU), or "
                          "the fused Pallas kernel for forward evals (TPU only; "
                          "gradient refinement falls back to assoc)")
+    ap.add_argument("--restarts", type=int, default=1,
+                    help="global-search restarts per column (best-of-N, "
+                         "run_time = total; see run_method)")
     ap.add_argument("--strong", action="store_true",
                     help="bigger global-search budgets (more polish basins / "
                          "refinement seeds) for the bayes/nonlinear columns — "
@@ -131,12 +150,13 @@ def main():
         x64=bool(jax.config.jax_enable_x64),
         solver=args.solver,
         strong=bool(args.strong),
+        restarts=args.restarts,
     )
     for (veh_name, method), pub in PUBLISHED.items():
         if only is not None and f"{veh_name}/{method}" not in only:
             continue
         got = run_method(track, vehicles[veh_name], method, solver=args.solver,
-                         strong=args.strong)
+                         strong=args.strong, restarts=args.restarts)
         ratio = got["lap_time"] / pub["lap_time"]
         results[f"{veh_name}/{method}"] = dict(
             ours=got,
