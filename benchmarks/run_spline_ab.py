@@ -43,13 +43,13 @@ def main():
     results = {"meta": {
         "device": str(jax.devices()[0]),
         "workload": "search_step solver='pallas' (production single-chip search)",
-        "method_global": "spline.FIT_METHOD_CLOSED flipped per column",
+        "method_global": "spline.FIT_METHOD_CLOSED_BATCHED flipped per column",
         "timing": "best-of-5 per round, readback sync",
     }}
 
     for B in (1024, 4096):
         for method in ("dense", "tridiag"):
-            spline.FIT_METHOD_CLOSED = method
+            spline.FIT_METHOD_CLOSED_BATCHED = method
             # search_step is jitted and its cache does NOT key on the module
             # global — without this, the second method's rounds silently
             # reuse the first method's compiled program (measured: identical

@@ -67,6 +67,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output-dir", type=str, default="./data",
                    help="base directory for plots + JSON artifacts")
     p.add_argument("--seed", type=int, default=0, help="PRNG seed for bayes/nonlinear")
+    p.add_argument("--restarts", type=int, default=1,
+                   help="bayes/nonlinear: run the whole search from this many "
+                        "seeds (seed..seed+N-1) and keep the best line — the "
+                        "restart protocol from benchmarks/run_parity_matrix; "
+                        "single-run results vary ~0.3%% across processes "
+                        "(docs/PERFORMANCE.md), so restarts are how to spend "
+                        "the chip's speed on quality")
     p.add_argument("--config", type=str, default=None,
                    help="JSON config overriding the reference-default hyperparameters "
                         "(corner detection, epsilon search, bayes/nonlinear budgets); "
@@ -152,21 +159,36 @@ def _run_inner(args) -> dict:
     elif args.method == "bayes":
         print("[ BAYES ]")
         b = cfg.bayes
-        alphas, _, info = global_search.bayesian(
-            track, vehicle, seed=args.seed,
-            n_init=b.n_init, n_local=b.n_local, n_uniform=b.n_uniform,
-            max_rounds=b.max_rounds, sigma_window=b.sigma_window,
-            sigma_tol=b.sigma_tol, min_samples=b.min_samples,
-            polish_every=b.polish_every, polish_iters=b.polish_iters,
-        )
-        print(f"  converged after {info['rounds']} rounds / {info['n_samples']} samples")
+        best = None
+        for s_ in range(args.seed, args.seed + max(1, args.restarts)):
+            a_, _, info = global_search.bayesian(
+                track, vehicle, seed=s_,
+                n_init=b.n_init, n_local=b.n_local, n_uniform=b.n_uniform,
+                max_rounds=b.max_rounds, sigma_window=b.sigma_window,
+                sigma_tol=b.sigma_tol, min_samples=b.min_samples,
+                polish_every=b.polish_every, polish_iters=b.polish_iters,
+            )
+            t_, *_ = global_search.evaluate_decongested_jit(track, vehicle, a_)
+            print(f"  seed {s_}: {float(t_):.3f} s "
+                  f"({info['rounds']} rounds / {info['n_samples']} samples)")
+            if best is None or float(t_) < best[0]:
+                best = (float(t_), a_)
+        alphas = best[1]
     elif args.method == "nonlinear":
         print("[ NONLINEAR ]")
         nl = cfg.nonlinear
-        alphas, _ = global_search.nonlinear(
-            track, vehicle, seed=args.seed,
-            n_random=nl.n_random, n_refine=nl.n_refine, max_iter=nl.max_iter,
-        )
+        best = None
+        for s_ in range(args.seed, args.seed + max(1, args.restarts)):
+            a_, _ = global_search.nonlinear(
+                track, vehicle, seed=s_,
+                n_random=nl.n_random, n_refine=nl.n_refine, max_iter=nl.max_iter,
+            )
+            t_, *_ = global_search.evaluate_decongested_jit(track, vehicle, a_)
+            if args.restarts > 1:
+                print(f"  seed {s_}: {float(t_):.3f} s")
+            if best is None or float(t_) < best[0]:
+                best = (float(t_), a_)
+        alphas = best[1]
     else:  # pragma: no cover
         raise ValueError(f"unknown method {args.method}")
 

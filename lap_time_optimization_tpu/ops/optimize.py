@@ -297,6 +297,46 @@ def minimize_bounded(
     return MinimizeResult(x=x, fun=res.fun, n_iter=res.n_iter, grad_norm=res.grad_norm)
 
 
+def minimize_bounded_chunked(
+    fun: Callable[[jax.Array], jax.Array],
+    x0: jax.Array,
+    lo: float = 0.0,
+    hi: float = 1.0,
+    max_iter: int = 200,
+    tol: float = 1e-6,
+    memory_size: int = 15,
+    linesearch: str = "zoom",
+    chunk: int = 50,
+) -> MinimizeResult:
+    """`minimize_bounded` split into ≤`chunk`-iteration device programs.
+
+    Why: the axon TPU tunnel hard-kills any single device program at ~60 s,
+    and the zoom linesearch's data-dependent trip counts make one
+    to-convergence `while_loop` unboundedly long.  Measured round 5: the
+    MX5 direct-laptime minimise (300 zoom iterations over the full pipeline)
+    crossed the deadline and crashed the TPU worker once the O(n) tridiag
+    spline solve added per-evaluation scan latency; tbr18 on the identical
+    program stayed under it — the failure is data-dependent program
+    DURATION, not a kernel bug (the dense-solve variant of the same program
+    ran clean, and so does this chunked version with tridiag).
+    Segmentation reuses `bounded_stepper`'s (init, run, finalize) contract,
+    so iterates are step-for-step identical to the single program."""
+    init, run, fin = bounded_stepper(
+        fun, lo=lo, hi=hi, max_iter=max_iter, tol=tol,
+        memory_size=memory_size, dtype=x0.dtype, linesearch=linesearch,
+    )
+    run_j = jax.jit(run, static_argnums=(1,))
+    carry = jax.jit(init)(x0)
+    prev_it = -1
+    while True:
+        carry = run_j(carry, chunk)
+        it = int(carry[2])
+        if it >= max_iter or it == prev_it:  # budget exhausted or converged
+            break
+        prev_it = it
+    return jax.jit(fin)(carry)
+
+
 def bounded_stepper(
     fun: Callable[[jax.Array], jax.Array],
     lo: float = 0.0,

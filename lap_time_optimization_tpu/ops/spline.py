@@ -12,14 +12,15 @@ Math: an interpolating periodic C² cubic spline with knots at the data sites is
 unique, so for closed tracks this module reproduces FITPACK's `per=1`
 interpolant exactly (up to roundoff).  We solve the classic "moment" (second
 derivative) formulation: a cyclic tridiagonal system for closed curves and a
-not-a-knot system for open curves.  Closed curves use an O(n) cyclic Thomas +
-Sherman–Morrison solve (`_cyclic_moments_tridiag`): round 1 chose a dense
-O(n³) LU on an "MXU-friendly batched solve" argument, but the round-5 A/B at
-the saturated search knee (benchmarks/spline_ab_tpu.json) measured the
-structured solve at 1.81× the dense search_step throughput (8,005 vs 4,434
-evals/s at B=4096) — XLA lowers batched LU to latency-bound triangular-solve
-chains, while the Thomas scan's 2n elementwise steps vectorize across the
-whole candidate batch.  Open curves keep the dense solve (two
+not-a-knot system for open curves.  Closed curves have TWO interchangeable
+moment solvers — a dense O(n³) LU and an O(n) cyclic Thomas +
+Sherman–Morrison solve (`_cyclic_moments_tridiag`), x64-equal to 1e-9
+(tested) — because the two regimes measured opposite winners on chip: the
+structured solve is 1.81× faster for wide batched forward-only candidate
+evaluation (benchmarks/spline_ab_tpu.json, the search hot path) but its
+f32 sequential error accumulation visibly degrades GRADIENT-based
+optimization (see `FIT_METHOD_CLOSED*` below for the measurements and the
+per-path defaults).  Open curves always use the dense solve (two
 non-tridiagonal boundary rows; never in the batched hot path).
 
 Evaluation gathers the bracketing interval with `searchsorted` and evaluates
@@ -174,13 +175,28 @@ def _cyclic_moments_tridiag(p: jax.Array, h: jax.Array) -> jax.Array:
 
 
 #: Moment-solve algorithm for CLOSED splines: "tridiag" (O(n) cyclic Thomas +
-#: Sherman–Morrison) or "dense" (O(n³) LU, the round-1 choice).  Measured at
-#: the saturated search knee (benchmarks/run_spline_ab.py →
-#: spline_ab_tpu.json): tridiag 1.81× at B=4096 (8,005 vs 4,434 evals/s) and
-#: 1.63× at B=1024 — hence the default.  NOTE: jitted callers bake the
-#: module default in at trace time; flip it only before the first trace (or
-#: pass `method=` / `jax.clear_caches()` as run_spline_ab.py does).
-FIT_METHOD_CLOSED = "tridiag"
+#: Sherman–Morrison) or "dense" (O(n³) LU).  TWO defaults because the two
+#: regimes measured OPPOSITE winners (round 5):
+#:
+#: * `FIT_METHOD_CLOSED` ("dense") — everything differentiated or
+#:   latency-bound: the direct-laptime minimise, the global searches' L-BFGS
+#:   refinement, single-candidate evaluation.  In f32 the tridiag
+#:   recurrence accumulates error over its ~n sequential steps and the
+#:   curvature (a second derivative) amplifies it into the GRADIENTS:
+#:   the MX5 direct-laptime minimise converged to 57.21 s with f32 tridiag
+#:   vs 52.06 s with dense on the identical program (x64 parity between the
+#:   two is 1e-9 — this is an f32-conditioning effect, not a bug; the
+#:   dense LU's blocked arithmetic is simply more accurate).  At small
+#:   batch the speeds tie anyway (37.4 vs 40.0 ms value+grad at k=10).
+#: * `FIT_METHOD_CLOSED_BATCHED` ("tridiag") — wide batched FORWARD-ONLY
+#:   candidate evaluation (the evolution-search hot path): 1.81× at the
+#:   B=4096 knee, 1.63× at B=1024 (benchmarks/spline_ab_tpu.json), and
+#:   ranking candidates is insensitive to ~1e-4-relative eval noise.
+#:
+#: NOTE: jitted callers bake the defaults in at trace time; flip them only
+#: before the first trace (or `jax.clear_caches()` as run_spline_ab.py does).
+FIT_METHOD_CLOSED = "dense"
+FIT_METHOD_CLOSED_BATCHED = "tridiag"
 
 
 def fit(points: jax.Array, closed: bool, method: str | None = None) -> Spline2D:

@@ -155,15 +155,22 @@ def minimise_optimal_compromise(
     return alphas, epsilon, np.asarray(history)
 
 
-@partial(jax.jit, static_argnames=("max_iter", "linesearch"))
 def minimise_lap_time(track: Track, vehicle, max_iter: int = 300,
-                      linesearch: str = "zoom") -> optimize.MinimizeResult:
+                      linesearch: str = "zoom", chunk: int = 50) -> optimize.MinimizeResult:
     """Directly minimise lap time through the differentiable profile solver
     (vs src/trajectory.py:128-146, which numerically differentiates the full
-    3-pass solve)."""
+    3-pass solve).
+
+    Host-chunked into ≤`chunk`-iteration device programs: this objective runs
+    the full velocity pipeline per evaluation with data-dependent zoom
+    linesearch trip counts, and a single to-convergence program crossed the
+    axon ~60 s program deadline on MX5 (see
+    `optimize.minimize_bounded_chunked`).  Iterates are identical to the
+    single-program run."""
     x0 = jnp.full((track.size,), 0.5, dtype=track.left.dtype)
-    return optimize.minimize_bounded(lambda a: lap_time_of(track, vehicle, a), x0,
-                                     max_iter=max_iter, linesearch=linesearch)
+    return optimize.minimize_bounded_chunked(
+        lambda a: lap_time_of(track, vehicle, a), x0,
+        max_iter=max_iter, linesearch=linesearch, chunk=chunk)
 
 
 # --------------------------------------------------------------------------- corners / estimated

@@ -72,7 +72,9 @@ def batch_lap_times(track: Track, vehicle, alphas_batch: jax.Array,
             )
 
         def geometry(alphas):
-            sp_ = track.path_spline(alphas)
+            # batched forward-only eval: tridiag moment solve (1.6-1.8x,
+            # spline.FIT_METHOD_CLOSED* docstring)
+            sp_ = track.path_spline(alphas, spline.FIT_METHOD_CLOSED_BATCHED)
             s = jnp.linspace(0.0, sp_.length, track.ns)
             k = spline.curvature(sp_, s[:-1], signed=False)
             return s, k, sp_.length

@@ -128,8 +128,11 @@ class Track:
         alphas = jnp.full((self.size,), 0.5, dtype=self.left.dtype)
         return spline.fit(self.control_points(alphas), self.closed)
 
-    def path_spline(self, alphas: jax.Array) -> spline.Spline2D:
-        return spline.fit(self.control_points(alphas), self.closed)
+    def path_spline(self, alphas: jax.Array, method: str | None = None) -> spline.Spline2D:
+        """Racing-line spline for an alpha vector.  `method` selects the
+        closed-curve moment solve (see `spline.FIT_METHOD_CLOSED*`): batched
+        forward-only callers pass `spline.FIT_METHOD_CLOSED_BATCHED`."""
+        return spline.fit(self.control_points(alphas), self.closed, method)
 
     # --------------------------------------------------------- decongested BO
     @property
