@@ -41,13 +41,15 @@ def main():
     p = OCPParams.reference(jnp.float32, lateral_margin=0.05)
     cfg = SolverConfig(horizon=10)  # backend="auto": fused Pallas kernel on TPU
 
-    # 200 steps amortize the axon tunnel's ~30 ms per-program dispatch (the
-    # whole loop is ONE scan program).  Per-step device time is 2.15 ms
+    # 500 steps (the reference's full default simulation, src/mpc.py:126)
+    # amortize the axon tunnel's ~30 ms per-program dispatch to ~1% — the
+    # whole loop is ONE scan program.  Per-step device time is 2.15 ms
     # (465 Hz in-program, benchmarks/reconcile2_tpu.json) after round 5's
     # constant-closure fix — model/p baked into the program as compile-time
     # constants instead of traced jit arguments (runner._const_jit), worth
-    # a measured 1.8× on the identical scan.  200 steps → 434 Hz eager.
-    steps = int(os.environ.get("LTO_BENCH_STEPS", "200"))
+    # a measured 1.8× on the identical scan.  200 steps → 434 Hz eager,
+    # 500 → ~450 Hz.
+    steps = int(os.environ.get("LTO_BENCH_STEPS", "500"))
     # warmup/compile
     sim = runner.closed_loop(model, p, cfg, x0, steps)
     sim.xs.block_until_ready()
